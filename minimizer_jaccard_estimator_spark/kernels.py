@@ -1,0 +1,429 @@
+"""Vectorized numpy ``uint64`` sketch kernels.
+
+These are the algorithmic core of the engine: k-shingling, seeded 64-bit
+hashing, (w,k) winnowed-minimizer selection, MinHash signatures, and SimHash.
+They are pure functions over numpy arrays — no Spark — and are wrapped by
+Arrow/pandas UDFs in :mod:`minimizer_jaccard_estimator_spark.functions`.
+
+Parity contract: at the same (k, w, hash type, hash seed) configuration the
+DNA-mode kernels reproduce the reference implementation bit-for-bit:
+
+- 2-bit packing          — reference ``jaccard_correction_test.py:708,723-727``
+                           and ``sliding_jaccard.py:588,604-611`` (sentinel).
+- minimap2 hash          — reference ``minimap2_hash_uncompiled.py:21-31``.
+- splitmix64 hash        — reference ``splitmix64_hash_uncompiled.py:39-48``.
+- murmurhash3 (64-bit)   — reference ``murmurhash3_uncompiled.py:43-110``.
+- winnowed minimizers    — reference ``winnowed_minimizers.py:18-53`` (linear)
+                           and ``:56-96`` (circular).
+- replicate seed family  — reference ``jaccard_correction_test.py:200-217``.
+
+All hash arithmetic is unsigned 64-bit.  Spark's LongType is signed, so the
+UDF layer reinterprets the bits (two's complement) at the column boundary via
+:func:`u64_to_i64` / :func:`i64_to_u64`; ordering comparisons (the winnower,
+MinHash minima) always happen here in uint64 space.
+"""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+U64 = np.uint64
+MASK64 = U64(0xFFFFFFFFFFFFFFFF)
+SENTINEL = U64(0xFFFFFFFFFFFFFFFF)
+
+# byte-shingle fingerprint base: FNV-1a 64-bit prime (odd => bijective mult mod 2^64)
+_FNV64_PRIME = U64(0x100000001B3)
+_FNV64_OFFSET = U64(0xCBF29CE484222325)
+
+HASH_TYPES = ("minimap2", "murmurhash3", "splitmix64")
+
+_EMPTY_U64 = np.empty(0, dtype=np.uint64)
+_EMPTY_I64 = np.empty(0, dtype=np.int64)
+
+
+# ---------------------------------------------------------------------------
+# signed/unsigned 64-bit reinterpretation (the single uint64<->LongType seam)
+# ---------------------------------------------------------------------------
+
+def u64_to_i64(a: np.ndarray) -> np.ndarray:
+    """Reinterpret uint64 bits as int64 (for storage in Spark LongType)."""
+    return a.view(np.int64) if a.dtype == np.uint64 else a.astype(np.uint64).view(np.int64)
+
+
+def i64_to_u64(a: np.ndarray) -> np.ndarray:
+    """Reinterpret int64 bits as uint64 (when reading back from LongType)."""
+    a = np.asarray(a, dtype=np.int64)
+    return a.view(np.uint64)
+
+
+# ---------------------------------------------------------------------------
+# hash kernels (elementwise over uint64 arrays)
+# ---------------------------------------------------------------------------
+
+def minimap2_hash(seed: int, v: np.ndarray, mask: int) -> np.ndarray:
+    """Seeded minimap2 hash64; invertible over ``mask+1`` when mask=4**k-1.
+
+    Bit-parity with reference ``minimap2_hash_uncompiled.py:21-31`` (every
+    intermediate there is masked, so wrapping uint64 arithmetic is exact).
+    """
+    seed_u = U64(seed & 0xFFFFFFFFFFFFFFFF)
+    mask_u = U64(mask)
+    v = np.asarray(v, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        u = (v + seed_u) & mask_u
+        u = (~u + (u << U64(21))) & mask_u
+        u = u ^ (u >> U64(24))
+        u = (u + (u << U64(3)) + (u << U64(8))) & mask_u
+        u = u ^ (u >> U64(14))
+        u = (u + (seed_u >> U64(5))) & mask_u
+        u = (u + (u << U64(2)) + (u << U64(4))) & mask_u
+        u = u ^ (u >> U64(28))
+        u = (u + (u << U64(31))) & mask_u
+    return u
+
+
+def splitmix64_hash(seed: int, v: np.ndarray) -> np.ndarray:
+    """Seeded Stafford Mix13 (splitmix64 finalizer); invertible over 2**64.
+
+    Bit-parity with reference ``splitmix64_hash_uncompiled.py:39-48``.  That
+    code computes ``u = v + seed`` in unbounded Python ints, so when the sum
+    carries past 2**64 the subsequent ``u ^= u >> 30`` sees bit 64; we
+    replicate that carry explicitly (it lands on bit 34 of the shifted term).
+    All later steps only depend on the value mod 2**64, so plain wrapping
+    arithmetic is exact for them.
+    """
+    seed_u = U64((seed ^ 0x3243F6A8885A308D) & 0xFFFFFFFFFFFFFFFF)
+    v = np.asarray(v, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        u = v + seed_u
+        carry = (u < v).astype(np.uint64)
+        u = u ^ ((u >> U64(30)) | (carry << U64(34)))
+        u = u * U64(0xBF58476D1CE4E5B9)
+        u = u ^ (u >> U64(27))
+        u = u + (seed_u >> U64(5))
+        u = u * U64(0x94D049BB133111EB)
+        u = u ^ (u >> U64(31))
+    return u
+
+
+def _fmix64(k: np.ndarray) -> np.ndarray:
+    k = k ^ (k >> U64(33))
+    k = k * U64(0xFF51AFD7ED558CCD)
+    k = k ^ (k >> U64(33))
+    k = k * U64(0xC4CEB9FE1A85EC53)
+    k = k ^ (k >> U64(33))
+    return k
+
+
+def murmurhash3(seed: int, v: np.ndarray, which: str = "xor") -> np.ndarray:
+    """64-bit MurmurHash3_x64_128 on a fixed 8-byte input, reduced to 64 bits.
+
+    Bit-parity with reference ``murmurhash3_uncompiled.py:43-110`` (all steps
+    there are masked to 64 bits, so wrapping arithmetic is exact).  NOT
+    invertible; collisions are possible, which disables the bias-correction
+    path exactly as in the reference.
+    """
+    v = np.asarray(v, dtype=np.uint64)
+    seed_u = U64(seed & 0xFFFFFFFFFFFFFFFF)
+    c1 = U64(0x87C37B91114253D5)
+    c2 = U64(0x4CF5AD432745937F)
+    with np.errstate(over="ignore"):
+        h1 = np.full(v.shape, seed_u, dtype=np.uint64)
+        h2 = h1.copy()
+        k1 = v * c1
+        k1 = (k1 << U64(31)) | (k1 >> U64(33))
+        k1 = k1 * c2
+        h1 = h1 ^ k1
+        h1 = h1 ^ U64(8)
+        h2 = h2 ^ U64(8)
+        h1 = h1 + h2
+        h2 = h2 + h1
+        h1 = _fmix64(h1)
+        h2 = _fmix64(h2)
+        h1 = h1 + h2
+        h2 = h2 + h1
+        if which == "h1":
+            return h1
+        if which == "h2":
+            return h2
+        if which == "+":
+            return h1 + h2
+    return h1 ^ h2
+
+
+def hash_mask(hash_type: str, k: int) -> int:
+    """The value-domain mask the given hash uses at shingle size k.
+
+    minimap2 hashes within ``4**k`` (reference ``hash_functions.py:26``);
+    the other two use the full 64-bit domain.
+    """
+    if hash_type == "minimap2":
+        return (4 ** k) - 1 if k < 32 else 0xFFFFFFFFFFFFFFFF
+    return 0xFFFFFFFFFFFFFFFF
+
+
+def apply_hash(hash_type: str, seed: int, v: np.ndarray, k: int = 32) -> np.ndarray:
+    """Dispatch like reference ``hash_functions.py:17-45``."""
+    if hash_type == "minimap2":
+        return minimap2_hash(seed, v, hash_mask("minimap2", k))
+    if hash_type == "murmurhash3":
+        return murmurhash3(seed, v)
+    if hash_type == "splitmix64":
+        return splitmix64_hash(seed, v)
+    raise ValueError(f"unsupported hash type {hash_type!r}; expected one of {HASH_TYPES}")
+
+
+def hash_is_invertible(hash_type: str) -> bool:
+    """minimap2/splitmix64 are invertible (duplicate-free hashes from
+    duplicate-free shingles); murmurhash3 is not — gates the correction path
+    like reference ``jaccard_correction_test.py:429-432``."""
+    return hash_type in ("minimap2", "splitmix64")
+
+
+# ---------------------------------------------------------------------------
+# replicate seed family (the MinHash permutation family)
+# ---------------------------------------------------------------------------
+
+def seed_family(hash_seed: int, num_replicates: int, prng_seed: str | int | None) -> list[int]:
+    """N distinct 64-bit hash seeds, replicating reference
+    ``jaccard_correction_test.py:200-217``: seed #0 is the user seed, the
+    rest are PRNG draws xor-folded with the user seed.  The same family is
+    reused for every pair (it is broadcast to the signature kernel)."""
+    if num_replicates == 1:
+        return [hash_seed]
+    rng = random.Random()
+    rng.seed(prng_seed)
+    seeds: list[int] = []
+    for i in range(num_replicates):
+        s = rng.randint(0, (1 << 64) - 1)
+        if i == 0:
+            seeds.append(hash_seed)
+        else:
+            seeds.append(s ^ hash_seed)
+    return seeds
+
+
+# ---------------------------------------------------------------------------
+# shingling
+# ---------------------------------------------------------------------------
+
+_NT_LUT = np.full(256, 255, dtype=np.uint8)
+for _i, _c in enumerate("ACGT"):
+    _NT_LUT[ord(_c)] = _i
+
+_RC_TABLE = bytes.maketrans(b"ACGT", b"TGCA")
+
+
+def reverse_complement(seq: str) -> str:
+    """Reference ``sliding_jaccard.py:692-696``."""
+    return seq.upper().encode("ascii").translate(_RC_TABLE)[::-1].decode("ascii")
+
+
+def pack_kmers_2bit(seq: str, k: int, on_invalid: str = "raise") -> np.ndarray:
+    """All k-mer 2-bit packings of a DNA string, MSB-first (A=0 C=1 G=2 T=3).
+
+    Parity with reference ``jaccard_correction_test.py:708,723-727`` (raises
+    on non-ACGT, mirroring its KeyError) and ``sliding_jaccard.py:588,604-611``
+    (``on_invalid='sentinel'`` → 0xFFFFFFFFFFFFFFFF).
+    """
+    if not 2 <= k <= 32:
+        raise ValueError("k must be in [2, 32]")
+    raw = np.frombuffer(seq.encode("ascii"), dtype=np.uint8)
+    n = raw.shape[0]
+    L = n - k + 1
+    if L <= 0:
+        return _EMPTY_U64
+    nt = _NT_LUT[raw]
+    bad = nt == 255
+    kb = np.zeros(L, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            kb = (kb << U64(2)) | nt[j:j + L].astype(np.uint64)
+    if bad.any():
+        if on_invalid == "raise":
+            pos = int(np.nonzero(bad)[0][0])
+            raise ValueError(f"non-ACGT character {seq[pos]!r} at position {pos}")
+        # windowed OR: kmer window [i, i+k) contains a bad char
+        badw = np.convolve(bad.astype(np.int8), np.ones(k, dtype=np.int8), mode="valid") > 0
+        kb[badw] = SENTINEL
+    return kb
+
+
+def canonical_kmers_2bit(seq: str, k: int) -> np.ndarray:
+    """min(kmer, revcomp kmer) packing — reference
+    ``jaccard_correction_test.py:713-721``.  String ``min`` on ACGT k-mers of
+    equal length coincides with numeric min of their 2-bit packings because
+    the alphabet order A<C<G<T matches the code order 0<1<2<3."""
+    fwd = pack_kmers_2bit(seq, k)
+    rev = pack_kmers_2bit(reverse_complement(seq), k)[::-1]
+    return np.minimum(fwd, rev)
+
+
+def hash_dna_sequence(
+    seq: str,
+    k: int,
+    hash_type: str = "minimap2",
+    seed: int = 0,
+    canonical: bool = False,
+    on_invalid: str = "raise",
+) -> np.ndarray:
+    """Positional hash sequence of a DNA string — reference
+    ``jaccard_correction_test.py:710-729`` / ``sliding_jaccard.py:591-613``.
+    With ``on_invalid='sentinel'`` non-ACGT k-mers keep the raw sentinel and
+    are NOT hashed (reference ``sliding_jaccard.py:609-611``)."""
+    if canonical:
+        kb = canonical_kmers_2bit(seq, k)
+    else:
+        kb = pack_kmers_2bit(seq, k, on_invalid=on_invalid)
+    if kb.size == 0:
+        return kb
+    if on_invalid == "sentinel":
+        out = kb.copy()
+        ok = kb != SENTINEL
+        out[ok] = apply_hash(hash_type, seed, kb[ok], k)
+        return out
+    return apply_hash(hash_type, seed, kb, k)
+
+
+def shingle_fingerprints(text: str, k: int) -> np.ndarray:
+    """Positional 64-bit fingerprints of all k-byte shingles of UTF-8 text.
+
+    Transcript-mode analogue of the reference's 2-bit k-mer packing
+    (``jaccard_correction_test.py:723-727``) for general text: an FNV-1a-style
+    base-256 polynomial mod 2**64 (odd multiplier => each step bijective).
+    Fingerprints then feed the same seeded hash kernels as DNA k-mers.
+    """
+    data = np.frombuffer(text.encode("utf-8"), dtype=np.uint8)
+    n = data.shape[0]
+    L = n - k + 1
+    if L <= 0:
+        return _EMPTY_U64
+    fp = np.full(L, _FNV64_OFFSET, dtype=np.uint64)
+    with np.errstate(over="ignore"):
+        for j in range(k):
+            fp = (fp ^ data[j:j + L].astype(np.uint64)) * _FNV64_PRIME
+    return fp
+
+
+def hash_text_shingles(text: str, k: int, hash_type: str = "splitmix64", seed: int = 0) -> np.ndarray:
+    """Positional hash sequence over byte shingles of text (transcript mode)."""
+    fp = shingle_fingerprints(text, k)
+    if fp.size == 0:
+        return fp
+    return apply_hash(hash_type, seed, fp, 32)
+
+
+# ---------------------------------------------------------------------------
+# winnowed minimizer selection
+# ---------------------------------------------------------------------------
+
+def winnow_minimizers(hashes: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """(values, positions) of the (w)-winnowed minimizers of a hash sequence.
+
+    Vectorized equivalent of reference ``winnowed_minimizers.py:18-53``
+    (monotonic deque).  Parity-critical semantics replicated:
+
+    - sequences shorter than w yield nothing (``:21``);
+    - ties keep the OLDEST position (deque pops only strictly greater,
+      ``:33`` — numpy ``argmin`` picks the leftmost minimum, same rule);
+    - each (value, pos) pair is emitted once (``:49-53``); window-min
+      positions are non-decreasing, so consecutive-position dedup is exact.
+
+    Returns uint64 values and int64 positions, ordered by position (the
+    reference's first-emission order).
+    """
+    hashes = np.asarray(hashes, dtype=np.uint64)
+    L = hashes.shape[0]
+    if L < w:
+        return _EMPTY_U64, _EMPTY_I64
+    windows = np.lib.stride_tricks.sliding_window_view(hashes, w)
+    am = windows.argmin(axis=1)
+    pos = am + np.arange(L - w + 1, dtype=np.int64)
+    keep = np.empty(pos.shape[0], dtype=bool)
+    keep[0] = True
+    np.not_equal(pos[1:], pos[:-1], out=keep[1:])
+    p = pos[keep]
+    return hashes[p], p
+
+
+def winnow_minimizers_circular(hashes: np.ndarray, w: int) -> tuple[np.ndarray, np.ndarray]:
+    """Circular variant — reference ``winnowed_minimizers.py:56-96``:
+    scan ``len+w-1`` with wraparound; a wrapped (value, pos>=L) emission is
+    suppressed if (value, pos-L) was already emitted, and reported at its
+    un-wrapped position otherwise (the reference keeps the raw extended
+    position; we normalize to mod-L like its dedup key)."""
+    hashes = np.asarray(hashes, dtype=np.uint64)
+    L = hashes.shape[0]
+    if L == 0:
+        return _EMPTY_U64, _EMPTY_I64
+    ext = np.concatenate([hashes, hashes[: w - 1]])
+    if ext.shape[0] < w:
+        return _EMPTY_U64, _EMPTY_I64
+    windows = np.lib.stride_tricks.sliding_window_view(ext, w)
+    am = windows.argmin(axis=1)
+    pos = am + np.arange(windows.shape[0], dtype=np.int64)
+    keep = np.empty(pos.shape[0], dtype=bool)
+    keep[0] = True
+    np.not_equal(pos[1:], pos[:-1], out=keep[1:])
+    p = pos[keep]
+    # drop wrapped re-emissions of an already-emitted (value, pos mod L)
+    pm = p % L
+    first = np.unique(pm, return_index=True)[1]
+    p_sel = p[np.sort(first)]
+    return hashes[p_sel % L], p_sel % L
+
+
+def count_hash_duplicates(hashes: np.ndarray) -> int:
+    """#positions whose hash appeared earlier — reference
+    ``jaccard_correction_test.py:770-778``."""
+    if len(hashes) == 0:
+        return 0
+    return int(hashes.shape[0] - np.unique(np.asarray(hashes, dtype=np.uint64)).shape[0])
+
+
+# ---------------------------------------------------------------------------
+# MinHash / SimHash signature kernels
+# ---------------------------------------------------------------------------
+
+def minhash_signature(
+    fingerprints: np.ndarray,
+    seeds: np.ndarray,
+    hash_type: str = "splitmix64",
+    empty_fill: int = 0xFFFFFFFFFFFFFFFF,
+) -> np.ndarray:
+    """len(seeds) MinHash minima over the DISTINCT fingerprints of one doc.
+
+    One seeded hash per replicate = the reference's replicate axis
+    (``jaccard_correction_test.py:310-331``) turned into a batched MinHash
+    signature.  Returns uint64 array of shape (len(seeds),).
+    """
+    seeds = np.asarray(seeds, dtype=np.uint64)
+    out = np.full(seeds.shape[0], U64(empty_fill), dtype=np.uint64)
+    if fingerprints.size == 0:
+        return out
+    fp = np.unique(np.asarray(fingerprints, dtype=np.uint64))
+    for i, s in enumerate(seeds):
+        out[i] = apply_hash(hash_type, int(s), fp, 32).min()
+    return out
+
+
+def simhash64(fingerprints: np.ndarray, seed: int = 0, hash_type: str = "splitmix64") -> int:
+    """64-bit SimHash over the distinct fingerprints of one doc: per-bit
+    majority vote of the seeded hashes.  Returns a uint64 as Python int."""
+    if fingerprints.size == 0:
+        return 0
+    fp = np.unique(np.asarray(fingerprints, dtype=np.uint64))
+    h = apply_hash(hash_type, seed, fp, 32)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & U64(1)).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - h.shape[0]  # (+1 per set bit, -1 per clear)
+    sim = np.uint64(0)
+    set_bits = np.nonzero(votes > 0)[0]
+    for b in set_bits:
+        sim |= U64(1) << U64(int(b))
+    return int(sim)
+
+
+def hamming64(a: int, b: int) -> int:
+    return bin((a ^ b) & 0xFFFFFFFFFFFFFFFF).count("1")

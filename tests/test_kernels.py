@@ -1,0 +1,237 @@
+"""Kernel parity tests: our numpy uint64 kernels vs the reference
+implementation (imported from /root/reference as the oracle) and vs naive
+re-derivations.  Mirrors the reference's own dual-implementation test pattern
+(``jaccard_correction_test.py:653-660``)."""
+
+from __future__ import annotations
+
+import random
+
+import numpy as np
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from minimizer_jaccard_estimator_spark import kernels as K
+from tests.conftest import mutate_dna, random_dna
+
+# --- reference oracles -----------------------------------------------------
+from minimap2_hash_uncompiled import minimap2_hash as ref_minimap2
+from murmurhash3_uncompiled import murmurhash3 as ref_murmur
+from splitmix64_hash_uncompiled import splitmix64_hash as ref_splitmix
+from winnowed_minimizers import (
+    winnowed_minimizers_circular as ref_winnow_circ,
+    winnowed_minimizers_linear as ref_winnow,
+)
+
+U64MAX = (1 << 64) - 1
+
+seeds_st = st.integers(min_value=0, max_value=U64MAX)
+vals_st = st.integers(min_value=0, max_value=U64MAX)
+
+
+@settings(max_examples=200, deadline=None)
+@given(seed=seeds_st, v=vals_st, k=st.integers(min_value=2, max_value=32))
+def test_minimap2_hash_parity(seed, v, k):
+    mask = (4 ** k) - 1
+    v &= mask
+    ours = K.minimap2_hash(seed, np.array([v], dtype=np.uint64), mask)[0]
+    assert int(ours) == ref_minimap2(seed, v, mask)
+
+
+@settings(max_examples=200, deadline=None)
+@given(seed=seeds_st, v=vals_st)
+def test_splitmix64_hash_parity(seed, v):
+    ours = K.splitmix64_hash(seed, np.array([v], dtype=np.uint64))[0]
+    assert int(ours) == ref_splitmix(seed, v)
+
+
+def test_splitmix64_carry_edge():
+    # v + (seed ^ pi_constant) overflows 2**64 — the unbounded-int carry path
+    seed = U64MAX
+    for v in (U64MAX, U64MAX - 1, 1 << 63, 12345):
+        ours = K.splitmix64_hash(seed, np.array([v], dtype=np.uint64))[0]
+        assert int(ours) == ref_splitmix(seed, v)
+
+
+@settings(max_examples=200, deadline=None)
+@given(seed=seeds_st, v=vals_st, which=st.sampled_from(["xor", "h1", "h2", "+"]))
+def test_murmurhash3_parity(seed, v, which):
+    ours = K.murmurhash3(seed, np.array([v], dtype=np.uint64), which=which)[0]
+    assert int(ours) == ref_murmur(seed, v, which=which)
+
+
+def test_pack_kmers_2bit_vs_naive():
+    rng = random.Random(1)
+    nt_to_bits = {"A": 0, "C": 1, "G": 2, "T": 3}
+    for k in (2, 5, 16, 31, 32):
+        seq = random_dna(rng, 200)
+        ours = K.pack_kmers_2bit(seq, k)
+        naive = []
+        for ix in range(k, len(seq) + 1):
+            bits = 0
+            for c in seq[ix - k:ix]:
+                bits = (bits << 2) + nt_to_bits[c]
+            naive.append(bits)
+        assert ours.tolist() == naive
+
+
+def test_pack_kmers_sentinel_and_raise():
+    seq = "ACGTNACGTACGT"
+    with pytest.raises(ValueError):
+        K.pack_kmers_2bit(seq, 4)
+    out = K.pack_kmers_2bit(seq, 4, on_invalid="sentinel")
+    # kmers overlapping position 4 ('N') carry the sentinel
+    sent = int(K.SENTINEL)
+    expect_bad = [i for i in range(len(seq) - 3) if 4 in range(i, i + 4)]
+    for i, v in enumerate(out.tolist()):
+        assert (v == sent) == (i in expect_bad)
+
+
+def test_canonical_kmers_match_reference_rule():
+    rng = random.Random(7)
+    seq = random_dna(rng, 120)
+    k = 9
+    ours = K.canonical_kmers_2bit(seq, k)
+    rev = K.reverse_complement(seq)
+    nt_to_bits = {"A": 0, "C": 1, "G": 2, "T": 3}
+    naive = []
+    for ix in range(k, len(seq) + 1):
+        kmer = seq[ix - k:ix]
+        rk = rev[len(seq) - ix:len(seq) - ix + k]
+        kmer = min(kmer, rk)  # reference string-min rule, jaccard_correction_test.py:721
+        bits = 0
+        for c in kmer:
+            bits = (bits << 2) + nt_to_bits[c]
+        naive.append(bits)
+    assert ours.tolist() == naive
+
+
+def test_hash_dna_sequence_parity_all_hashes():
+    rng = random.Random(3)
+    seq = random_dna(rng, 300)
+    for hash_type, ref_fn in (
+        ("minimap2", lambda s, v, k: ref_minimap2(s, v, (4 ** k) - 1)),
+        ("splitmix64", lambda s, v, k: ref_splitmix(s, v)),
+        ("murmurhash3", lambda s, v, k: ref_murmur(s, v)),
+    ):
+        for k, seed in ((8, 0), (16, 0xDEADBEEF), (16, U64MAX)):
+            ours = K.hash_dna_sequence(seq, k, hash_type, seed)
+            nt_to_bits = {"A": 0, "C": 1, "G": 2, "T": 3}
+            naive = []
+            for ix in range(k, len(seq) + 1):
+                bits = 0
+                for c in seq[ix - k:ix]:
+                    bits = (bits << 2) + nt_to_bits[c]
+                naive.append(ref_fn(seed, bits, k))
+            assert ours.tolist() == naive, (hash_type, k, seed)
+
+
+# --- winnower ---------------------------------------------------------------
+
+def _ref_winnow_list(vals, w):
+    return list(ref_winnow(tuple(vals), w))
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=U64MAX), min_size=0, max_size=200),
+    w=st.integers(min_value=2, max_value=30),
+)
+def test_winnow_parity_random(vals, w):
+    v, p = K.winnow_minimizers(np.array(vals, dtype=np.uint64), w)
+    ref = _ref_winnow_list(vals, w)
+    assert list(zip(v.tolist(), p.tolist())) == ref
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=5), min_size=0, max_size=100),
+    w=st.integers(min_value=2, max_value=10),
+)
+def test_winnow_parity_heavy_duplicates(vals, w):
+    """The reference 'expects unique values' but its deque has well-defined
+    duplicate behavior (strictly-greater pop => oldest wins); replicate it."""
+    v, p = K.winnow_minimizers(np.array(vals, dtype=np.uint64), w)
+    ref = _ref_winnow_list(vals, w)
+    assert list(zip(v.tolist(), p.tolist())) == ref
+
+
+def test_winnow_short_sequence_yields_nothing():
+    v, p = K.winnow_minimizers(np.arange(4, dtype=np.uint64), 5)
+    assert v.size == 0 and p.size == 0
+
+
+@settings(max_examples=100, deadline=None)
+@given(
+    vals=st.lists(st.integers(min_value=0, max_value=U64MAX), min_size=2, max_size=100, unique=True),
+    w=st.integers(min_value=2, max_value=12),
+)
+def test_winnow_circular_parity(vals, w):
+    # the reference circular winnower indexes perm[ix-len] and so requires
+    # w <= len(perm)+1; stay inside its valid domain
+    w = min(w, len(vals))
+    v, p = K.winnow_minimizers_circular(np.array(vals, dtype=np.uint64), w)
+    ref = {(val, pos % len(vals)) for (val, pos) in ref_winnow_circ(tuple(vals), w)}
+    assert set(zip(v.tolist(), p.tolist())) == ref
+
+
+# --- seed family ------------------------------------------------------------
+
+def test_seed_family_matches_reference_scheme():
+    # re-derive the reference's loop (jaccard_correction_test.py:200-217)
+    prng, user_seed, n = "20210908A", 0, 50
+    random.seed(prng)
+    expected = []
+    for i in range(n):
+        s = random.randint(0, U64MAX)
+        expected.append(user_seed if i == 0 else s ^ user_seed)
+    assert K.seed_family(user_seed, n, prng) == expected
+    assert K.seed_family(123, 1, None) == [123]
+
+
+# --- text shingles / signatures ----------------------------------------------
+
+def test_shingle_fingerprints_basics():
+    a = K.shingle_fingerprints("hello world, hello spark", 5)
+    assert a.dtype == np.uint64 and a.shape[0] == len("hello world, hello spark".encode()) - 4
+    # identical shingles -> identical fingerprints
+    t = "abcabcabc"
+    f = K.shingle_fingerprints(t, 3)
+    assert f[0] == f[3] == f[6]
+    assert K.shingle_fingerprints("ab", 5).size == 0
+
+
+def test_minhash_signature_properties():
+    f1 = K.shingle_fingerprints("the quick brown fox jumps over the lazy dog" * 4, 8)
+    f2 = K.shingle_fingerprints("the quick brown fox jumped over the lazy dog" * 4, 8)
+    f3 = K.shingle_fingerprints("completely different content here entirely" * 4, 8)
+    seeds = np.array(K.seed_family(0, 64, "20210908A"), dtype=np.uint64)
+    s1 = K.minhash_signature(f1, seeds)
+    s1b = K.minhash_signature(f1, seeds)
+    s2 = K.minhash_signature(f2, seeds)
+    s3 = K.minhash_signature(f3, seeds)
+    assert np.array_equal(s1, s1b)
+    sim12 = float((s1 == s2).mean())
+    sim13 = float((s1 == s3).mean())
+    assert sim12 > sim13
+    assert sim12 > 0.5
+
+
+def test_simhash_near_vs_far():
+    f1 = K.shingle_fingerprints("the quick brown fox jumps over the lazy dog" * 4, 8)
+    f2 = K.shingle_fingerprints("the quick brown fox jumped over the lazy dog" * 4, 8)
+    f3 = K.shingle_fingerprints("completely different content here entirely" * 4, 8)
+    h1, h2, h3 = (K.simhash64(f) for f in (f1, f2, f3))
+    assert K.hamming64(h1, h2) < K.hamming64(h1, h3)
+    assert K.hamming64(h1, h1) == 0
+
+
+def test_u64_i64_roundtrip():
+    vals = np.array([0, 1, (1 << 63), U64MAX, 0xDEADBEEF], dtype=np.uint64)
+    assert np.array_equal(K.i64_to_u64(K.u64_to_i64(vals)), vals)
+
+
+def test_count_hash_duplicates():
+    assert K.count_hash_duplicates(np.array([1, 2, 2, 3, 3, 3], dtype=np.uint64)) == 3
+    assert K.count_hash_duplicates(np.array([], dtype=np.uint64)) == 0
