@@ -1,0 +1,181 @@
+"""Arrow/pandas UDFs wrapping the uint64 sketch kernels.
+
+All heavy per-document work (shingle → hash → winnow → sketch/signature)
+happens in vectorized numpy inside these UDFs; no per-row Python UDFs
+anywhere (BASELINE.json input_hint hard requirement).  Hash values cross the
+Spark boundary as LongType via two's-complement reinterpretation
+(:func:`..kernels.u64_to_i64`); all magnitude comparisons stay in uint64
+space inside the kernels.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .. import kernels as K
+
+
+@dataclass(frozen=True)
+class SketchConfig:
+    """One (k, w, hash, seed) sketching configuration — the reference's CLI
+    surface (``jaccard_correction_test.py:88-228``) as a config object.
+
+    mode='text' shingles UTF-8 bytes (transcript domain); mode='dna' packs
+    ACGT 2-bit k-mers (parity domain).
+    """
+
+    k: int = 12
+    w: int = 20
+    hash_type: str = "splitmix64"
+    hash_seed: int = 0
+    mode: str = "text"  # 'text' | 'dna'
+    canonical: bool = False
+    on_invalid: str = "raise"  # dna mode: 'raise' | 'sentinel'
+    # MinHash signature axis (reference replicate axis, :200-217)
+    num_perm: int = 128
+    prng_seed: str = "20210908A"
+    # LSH banding: num_perm = lsh_bands * lsh_rows
+    lsh_bands: int = 32
+    # SimHash
+    simhash_seed: int = 0x5117B6A5
+
+    @property
+    def lsh_rows(self) -> int:
+        assert self.num_perm % self.lsh_bands == 0
+        return self.num_perm // self.lsh_bands
+
+    def seeds(self) -> np.ndarray:
+        return np.array(
+            K.seed_family(self.hash_seed, self.num_perm, self.prng_seed), dtype=np.uint64
+        )
+
+    def fingerprints(self, text: str) -> np.ndarray:
+        if self.mode == "dna":
+            if self.canonical:
+                return K.canonical_kmers_2bit(text, self.k)
+            return K.pack_kmers_2bit(text, self.k, on_invalid=self.on_invalid)
+        return K.shingle_fingerprints(text, self.k)
+
+    def hash_sequence(self, text: str, seed: int | None = None) -> np.ndarray:
+        if self.mode == "dna":
+            return K.hash_dna_sequence(
+                text, self.k, self.hash_type,
+                self.hash_seed if seed is None else seed,
+                canonical=self.canonical, on_invalid=self.on_invalid,
+            )
+        return K.hash_text_shingles(
+            text, self.k, self.hash_type, self.hash_seed if seed is None else seed
+        )
+
+
+SKETCH_FIELDS = StructType(
+    [
+        StructField("minimizers", ArrayType(LongType())),
+        StructField("positions", ArrayType(IntegerType())),
+        StructField("n_shingles", LongType()),
+        StructField("n_dups", LongType()),
+    ]
+)
+
+SIG_FIELDS = StructType(
+    [
+        StructField("minhash", ArrayType(LongType())),
+        StructField("simhash", LongType()),
+    ]
+)
+
+
+def sketch_udf(cfg: SketchConfig):
+    """text -> struct(minimizers, positions, n_shingles, n_dups).
+
+    minimizers are the winnowed (w,k) minimizer VALUES in position order
+    (reference ``winnowed_minimizers.py:18-53``); n_dups counts repeated
+    hash values (reference ``jaccard_correction_test.py:770-778``).
+    """
+
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in batches:
+            minis, poss, n_sh, n_dup = [], [], [], []
+            for t in texts:
+                h = cfg.hash_sequence(t or "")
+                v, p = K.winnow_minimizers(h, cfg.w)
+                minis.append(K.u64_to_i64(v))
+                poss.append(p.astype(np.int32))
+                n_sh.append(h.shape[0])
+                n_dup.append(K.count_hash_duplicates(h))
+            yield pd.DataFrame(
+                {
+                    "minimizers": minis,
+                    "positions": poss,
+                    "n_shingles": np.array(n_sh, dtype=np.int64),
+                    "n_dups": np.array(n_dup, dtype=np.int64),
+                }
+            )
+
+    return F.pandas_udf(run, SKETCH_FIELDS)
+
+
+def signature_udf(cfg: SketchConfig):
+    """text -> struct(minhash array<long>, simhash long).
+
+    The MinHash axis is the reference's hash-replicate axis
+    (``jaccard_correction_test.py:310-331``) vectorized across seeds.
+    """
+    seeds = cfg.seeds()
+
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in batches:
+            sigs, sims = [], []
+            for t in texts:
+                fp = cfg.fingerprints(t or "")
+                sig = K.minhash_signature(fp, seeds, hash_type=cfg.hash_type)
+                sigs.append(K.u64_to_i64(sig))
+                sh = K.simhash64(fp, cfg.simhash_seed, cfg.hash_type)
+                sims.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame({"minhash": sigs, "simhash": np.array(sims, dtype=np.int64)})
+
+    return F.pandas_udf(run, SIG_FIELDS)
+
+
+def hash_sequence_udf(cfg: SketchConfig, seed: int | None = None):
+    """text -> array<long> positional hash sequence (parity/debug surface,
+    reference ``hash_sequence``)."""
+
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            yield pd.Series([K.u64_to_i64(cfg.hash_sequence(t or "", seed)) for t in texts])
+
+    return F.pandas_udf(run, ArrayType(LongType()))
+
+
+def add_sketch(df: DataFrame, cfg: SketchConfig, text_col: str = "text") -> DataFrame:
+    s = sketch_udf(cfg)(F.col(text_col)).alias("_sk")
+    return df.select("*", s).select(
+        *df.columns,
+        F.col("_sk.minimizers").alias("minimizers"),
+        F.col("_sk.positions").alias("positions"),
+        F.col("_sk.n_shingles").alias("n_shingles"),
+        F.col("_sk.n_dups").alias("n_dups"),
+    )
+
+
+def add_signature(df: DataFrame, cfg: SketchConfig, text_col: str = "text") -> DataFrame:
+    s = signature_udf(cfg)(F.col(text_col)).alias("_sig")
+    return df.select("*", s).select(
+        *df.columns,
+        F.col("_sig.minhash").alias("minhash"),
+        F.col("_sig.simhash").alias("simhash"),
+    )

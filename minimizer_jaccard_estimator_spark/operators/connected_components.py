@@ -1,0 +1,78 @@
+"""Iterative large-star / small-star connected components on the pair graph.
+
+Driver-side loop of DataFrame operations (Kiveris et al., "Connected
+Components in MapReduce and Beyond") — each iteration is two shuffles on the
+edge set; ``localCheckpoint`` per iteration truncates lineage so plans stay
+bounded regardless of iteration count.  Converges in O(log^2 n) iterations;
+the pair graphs produced by dedup (near-clique clusters) converge in 2-4.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def _large_star(edges: DataFrame) -> DataFrame:
+    # neighbors in both directions; connect every strictly-larger neighbor to
+    # the min of the closed neighborhood
+    nbrs = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    m = nbrs.groupBy("src").agg(F.min("dst").alias("mn"))
+    m = m.select("src", F.least("src", "mn").alias("m"))
+    return (
+        nbrs.join(m, "src")
+        .where(F.col("dst") > F.col("src"))
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .distinct()
+    )
+
+
+def _small_star(edges: DataFrame) -> DataFrame:
+    # orient u -> v with u > v; connect all smaller neighbors (and u) to min
+    e = edges.select(
+        F.greatest("src", "dst").alias("src"), F.least("src", "dst").alias("dst")
+    ).where(F.col("src") != F.col("dst"))
+    m = e.groupBy("src").agg(F.min("dst").alias("m"))
+    out = (
+        e.join(m, "src")
+        .select(F.col("dst").alias("src"), F.col("m").alias("dst"))
+        .union(m.select(F.col("src"), F.col("m").alias("dst")))
+    )
+    return out.where(F.col("src") != F.col("dst")).distinct()
+
+
+def _signature(edges: DataFrame) -> int:
+    row = edges.select(
+        F.count("*").alias("n"),
+        F.coalesce(  # decimal sum: ANSI-safe (no long overflow) order-free digest
+            F.sum(F.xxhash64("src", "dst").cast("decimal(38,0)")), F.lit(0)
+        ).cast("string").alias("h"),
+    ).collect()[0]
+    return hash((row["n"], row["h"]))
+
+
+def connected_components(
+    pairs: DataFrame,
+    id_col_a: str = "id_a",
+    id_col_b: str = "id_b",
+    max_iterations: int = 20,
+) -> DataFrame:
+    """(conv_id, cluster_id): every node of the pair graph labeled with the
+    min id of its component.  Nodes absent from ``pairs`` are not returned
+    (callers union isolated ids as their own cluster)."""
+    edges = pairs.select(
+        F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
+    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+
+    prev_sig = None
+    for _ in range(max_iterations):
+        edges = _small_star(_large_star(edges)).localCheckpoint()
+        sig = _signature(edges)
+        if sig == prev_sig:
+            break
+        prev_sig = sig
+
+    # after convergence every edge points node -> component min
+    members = edges.select(F.col("src").alias("conv_id"), F.col("dst").alias("cluster_id"))
+    roots = edges.select(F.col("dst").alias("conv_id"), F.col("dst").alias("cluster_id"))
+    return members.union(roots).groupBy("conv_id").agg(F.min("cluster_id").alias("cluster_id"))

@@ -1,0 +1,116 @@
+"""End-to-end near-duplicate detection + clustering pipeline.
+
+transcripts → assemble → sketch + signatures → (exact-dup ∪ LSH) candidates
+→ [optional SimHash prefilter] → minimizer-Jaccard verify → threshold →
+large-star/small-star connected components → clusters.
+
+Every stage is checkpointable/resumable through
+:class:`..plans.catalog.StageStore`; the per-stage tables are the engine's
+lineage record.  The sketch core reproduces the reference bit-for-bit at the
+same (k, w, hash, seed) config; LSH/CC are the scale layers the reference
+(which scores a given pair list single-threaded) does not have.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.sketch import SketchConfig, add_signature, add_sketch
+from ..plans.catalog import StageStore
+from ..sources.transcripts import assemble_conversations
+from .connected_components import connected_components
+from .lsh import exact_dup_pairs, lsh_candidate_pairs, simhash_filter
+from .verify import attach_pair_columns, verify_pairs
+
+
+@dataclass
+class DedupConfig:
+    sketch: SketchConfig = SketchConfig()
+    jaccard_threshold: float = 0.5
+    simhash_max_hamming: int | None = None  # None => prefilter off
+    max_bucket_size: int | None = 1000
+    salt_partitions: int | None = None  # explicit salted repartition of turns
+
+
+@dataclass
+class DedupResult:
+    conv_text: DataFrame
+    sketches: DataFrame
+    candidates: DataFrame
+    verified: DataFrame
+    clusters: DataFrame
+
+
+def run_dedup(
+    spark: SparkSession,
+    transcripts: DataFrame,
+    cfg: DedupConfig | None = None,
+    store: StageStore | None = None,
+) -> DedupResult:
+    cfg = cfg or DedupConfig()
+    store = store or StageStore(root=None)
+
+    # -- assembly (skew note: groupBy(conv_id) is a hash shuffle; hot conv_ids
+    # are bounded by per-conv turn counts, and the partial agg combines
+    # map-side.  salt_partitions forces a pre-shuffle spread of giant convs'
+    # input rows before the agg shuffle.)
+    turns = transcripts
+    if cfg.salt_partitions:
+        turns = turns.repartition(cfg.salt_partitions, F.col("conv_id"), F.col("turn_idx"))
+    if store.exists("conv_text"):
+        conv_text = store.load(spark, "conv_text")
+    else:
+        conv_text = store.materialize(spark, "conv_text", assemble_conversations(turns))
+
+    # -- sketches + signatures (the Arrow-UDF hot path; one pass over docs)
+    if store.exists("sketches"):
+        sketches = store.load(spark, "sketches")
+    else:
+        sk = add_sketch(conv_text.select("conv_id", "text"), cfg.sketch)
+        sk = add_signature(sk, cfg.sketch).drop("text")
+        sketches = store.materialize(spark, "sketches", sk)
+    if store.root is None:
+        sketches = sketches.persist()
+
+    # -- candidates: exact-dup fast path ∪ LSH band buckets
+    if store.exists("candidates"):
+        candidates = store.load(spark, "candidates")
+    else:
+        exact = exact_dup_pairs(conv_text)
+        lsh = lsh_candidate_pairs(
+            sketches.select("conv_id", "minhash"), cfg.sketch,
+            max_bucket_size=cfg.max_bucket_size,
+        )
+        candidates = exact.union(lsh).distinct()
+        if cfg.simhash_max_hamming is not None:
+            with_sim = attach_pair_columns(
+                candidates, sketches.select("conv_id", "simhash"), ["simhash"]
+            )
+            candidates = simhash_filter(with_sim, cfg.simhash_max_hamming).select("id_a", "id_b")
+        candidates = store.materialize(spark, "candidates", candidates)
+
+    # -- verify with exact Jaccard on minimizer sets (JVM-side set ops)
+    if store.exists("verified"):
+        verified = store.load(spark, "verified")
+    else:
+        verified = verify_pairs(candidates, sketches.select("conv_id", "minimizers"))
+        verified = store.materialize(spark, "verified", verified)
+
+    # -- cluster the accepted pairs; isolated convs cluster as themselves
+    if store.exists("clusters"):
+        clusters = store.load(spark, "clusters")
+    else:
+        accepted = verified.where(F.col("j_mini") >= cfg.jaccard_threshold)
+        comp = connected_components(accepted)
+        all_ids = conv_text.select("conv_id")
+        clusters = (
+            all_ids.join(comp, "conv_id", "left")
+            .select("conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id"))
+        )
+        clusters = store.materialize(spark, "clusters", clusters)
+
+    store.write_metrics(spark)
+    return DedupResult(conv_text, sketches, candidates, verified, clusters)

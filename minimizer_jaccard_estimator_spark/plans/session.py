@@ -1,0 +1,54 @@
+"""SparkSession factory with the engine's scale-oriented defaults.
+
+Local mode in this sandbox; on a real cluster the same configs apply (AQE,
+skew-join splitting, Arrow batching) and the master/executor settings come
+from spark-submit.  Iceberg extensions are attached only when the runtime
+jars are available (gated; parquet tables otherwise — see plans/catalog.py).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_spark(
+    app_name: str = "minimizer-jaccard-estimator-spark",
+    cpus: int | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    # make this package importable on python workers regardless of the
+    # driver's cwd (cluster equivalent: spark-submit --py-files)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+    existing = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in existing.split(os.pathsep):
+        os.environ["PYTHONPATH"] = f"{pkg_root}{os.pathsep}{existing}" if existing else pkg_root
+
+    if cpus is None:
+        cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    if shuffle_partitions is None:
+        # ~2x cores locally; on a cluster AQE coalesces from a higher initial
+        shuffle_partitions = max(2 * cpus, 8)
+    builder = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName(app_name)
+        # AQE: runtime re-plan, skew-join splitting, partition coalescing
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        # Arrow is the hot path for every sketch kernel
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "2048")
+        # sized so a 128MB-ish input split per task at 100TB scale
+        .config("spark.sql.files.maxPartitionBytes", "134217728")
+        .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,180 @@
+"""End-to-end pipeline tests: per-turn text-equality invariant, dup-pair
+recall >= 0.99 vs brute-force reference-semantics clusters, connected
+components vs union-find, checkpoint/resume."""
+
+from __future__ import annotations
+
+import itertools
+import random
+
+import numpy as np
+import pyspark.sql.functions as F
+import pytest
+
+from minimizer_jaccard_estimator_spark import kernels as K
+from minimizer_jaccard_estimator_spark import pairwise as P
+from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
+from minimizer_jaccard_estimator_spark.operators.connected_components import connected_components
+from minimizer_jaccard_estimator_spark.operators.dedup import DedupConfig, run_dedup
+from minimizer_jaccard_estimator_spark.operators.lsh import exact_dup_pairs
+from minimizer_jaccard_estimator_spark.plans.catalog import StageStore
+from minimizer_jaccard_estimator_spark.sources.transcripts import (
+    assemble_conversations,
+    synthetic_transcripts,
+)
+
+SKETCH = SketchConfig(k=12, w=20, hash_type="splitmix64", hash_seed=0,
+                      num_perm=128, lsh_bands=64)
+THETA = 0.5
+
+
+class UnionFind:
+    def __init__(self):
+        self.p = {}
+
+    def find(self, x):
+        self.p.setdefault(x, x)
+        while self.p[x] != x:
+            self.p[x] = self.p[self.p[x]]
+            x = self.p[x]
+        return x
+
+    def union(self, a, b):
+        ra, rb = self.find(a), self.find(b)
+        if ra != rb:
+            self.p[max(ra, rb)] = min(ra, rb)
+
+
+def brute_force_clusters(texts: dict[str, str], cfg: SketchConfig, theta: float):
+    """Reference-semantics clusters: minimizer-Jaccard (J4) on ALL pairs at
+    the same (k, w, hash, seed) config, union-find over accepted pairs."""
+    minis = {
+        cid: np.unique(K.winnow_minimizers(cfg.hash_sequence(t), cfg.w)[0])
+        for cid, t in texts.items()
+    }
+    uf = UnionFind()
+    truth_pairs = set()
+    for a, b in itertools.combinations(sorted(texts), 2):
+        ma, mb = minis[a], minis[b]
+        inter = np.intersect1d(ma, mb, assume_unique=True).shape[0]
+        union = ma.shape[0] + mb.shape[0] - inter
+        j = 0.0 if union == 0 else inter / union
+        if j >= theta:
+            truth_pairs.add((a, b))
+            uf.union(a, b)
+    clusters = {cid: uf.find(cid) for cid in texts}
+    same_cluster_pairs = {
+        (a, b) for a, b in itertools.combinations(sorted(texts), 2)
+        if clusters[a] == clusters[b]
+    }
+    return same_cluster_pairs, truth_pairs
+
+
+def test_assembly_per_turn_text_equality(spark):
+    """The assembled conversation reconstructs each turn's text exactly under
+    stable (conv_id, turn_idx) order, regardless of input row order."""
+    t = synthetic_transcripts(spark, n_base=20, dup_factor=0, seed=7)
+    shuffled = t.orderBy(F.rand(123))  # adversarial arrival order
+    conv = assemble_conversations(shuffled, sep="\x1e").collect()
+    turns = {
+        (r["conv_id"], r["turn_idx"]): r["text"]
+        for r in t.collect()
+    }
+    for row in conv:
+        parts = row["text"].split("\x1e")
+        assert row["n_turns"] == len(parts)
+        for idx, part in enumerate(parts):
+            assert turns[(row["conv_id"], idx)] == part
+
+
+def test_dedup_recall_vs_reference_clusters(spark):
+    """Dup-pair recall >= 0.99 against brute-force reference-semantics
+    clusters at identical shingle/signature settings (BASELINE.json metric)."""
+    t = synthetic_transcripts(spark, n_base=60, dup_factor=3, seed=42)
+    cfg = DedupConfig(sketch=SKETCH, jaccard_threshold=THETA)
+    res = run_dedup(spark, t, cfg)
+
+    texts = {r["conv_id"]: r["text"] for r in res.conv_text.select("conv_id", "text").collect()}
+    truth_same_cluster, truth_pairs = brute_force_clusters(texts, SKETCH, THETA)
+
+    ours = {r["conv_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    assert set(ours) == set(texts)
+    our_pairs = {
+        (a, b) for a, b in itertools.combinations(sorted(texts), 2)
+        if ours[a] == ours[b]
+    }
+    assert truth_same_cluster, "fixture must plant duplicates"
+    recall = len(our_pairs & truth_same_cluster) / len(truth_same_cluster)
+    assert recall >= 0.99, f"dup-pair recall {recall:.4f} < 0.99"
+    # clustering should also not wildly over-merge
+    precision = len(our_pairs & truth_same_cluster) / max(len(our_pairs), 1)
+    assert precision >= 0.95, f"dup-pair precision {precision:.4f}"
+
+
+def test_verify_matches_reference_estimator(spark):
+    """j_mini of verified pairs == jaccard_by_minimizers on the same texts."""
+    t = synthetic_transcripts(spark, n_base=30, dup_factor=1, seed=5)
+    res = run_dedup(spark, t, DedupConfig(sketch=SKETCH, jaccard_threshold=THETA))
+    texts = {r["conv_id"]: r["text"] for r in res.conv_text.collect()}
+    for r in res.verified.collect():
+        ja = P.jaccard_minimizers(
+            SKETCH.hash_sequence(texts[r["id_a"]]),
+            SKETCH.hash_sequence(texts[r["id_b"]]),
+            SKETCH.w,
+        )
+        assert (r["i_mini"], r["u_mini"]) == (ja.n_intersection, ja.n_union)
+        assert r["j_mini"] == pytest.approx(ja.jaccard)
+
+
+def test_connected_components_vs_union_find(spark):
+    rng = random.Random(9)
+    n = 200
+    edges = [(f"n{rng.randrange(n):04d}", f"n{rng.randrange(n):04d}") for _ in range(150)]
+    edges = [(a, b) for a, b in edges if a != b]
+    df = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["conv_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    uf = UnionFind()
+    for a, b in edges:
+        uf.union(a, b)
+    nodes = {x for e in edges for x in e}
+    expect = {x: uf.find(x) for x in nodes}
+    assert got == expect
+
+
+def test_exact_dup_pairs(spark):
+    df = spark.createDataFrame(
+        [("a", "same text"), ("b", "same text"), ("c", "other"), ("d", "same text")],
+        ["conv_id", "text"],
+    )
+    pairs = {(r["id_a"], r["id_b"]) for r in exact_dup_pairs(df).collect()}
+    assert pairs == {("a", "b"), ("a", "d")}
+
+
+def test_checkpoint_resume(spark, tmp_path):
+    t = synthetic_transcripts(spark, n_base=20, dup_factor=1, seed=3)
+    cfg = DedupConfig(sketch=SKETCH, jaccard_threshold=THETA)
+    store1 = StageStore(root=str(tmp_path / "run"))
+    res1 = run_dedup(spark, t, cfg, store=store1)
+    first = {(r["conv_id"], r["cluster_id"]) for r in res1.clusters.collect()}
+    assert not any(m["resumed"] for m in store1.metrics())
+
+    # second run resumes every stage from the checkpoint tables
+    store2 = StageStore(root=str(tmp_path / "run"))
+    res2 = run_dedup(spark, t, cfg, store=store2)
+    second = {(r["conv_id"], r["cluster_id"]) for r in res2.clusters.collect()}
+    assert first == second
+
+    # metrics table exists with per-stage lineage
+    m = spark.read.parquet(str(tmp_path / "run" / "_metrics"))
+    assert {"stage", "run_id", "rows_out", "wall_ms"} <= set(m.columns)
+    assert m.where(F.col("stage") == "clusters").count() >= 1
+
+
+def test_corpus_determinism_across_parallelism(spark):
+    """Generation is per-row deterministic: identical corpus at any
+    partitioning (prerequisite for the two-parallelism scaling benchmark)."""
+    a = synthetic_transcripts(spark, n_base=25, dup_factor=1, seed=11, partitions=2)
+    b = synthetic_transcripts(spark, n_base=25, dup_factor=1, seed=11, partitions=13)
+    rows_a = sorted(map(tuple, a.collect()))
+    rows_b = sorted(map(tuple, b.collect()))
+    assert rows_a == rows_b
