@@ -1,0 +1,106 @@
+#!/usr/bin/env python3
+"""Benchmark: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "...", "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": <sf>, "extra": {...}}
+
+Headline suite:
+- dedup_pipeline : full near-dup pipeline (assemble → sketch → MinHash/LSH →
+  verify → CC) over a deterministic synthetic transcript corpus sized by sf.
+  extra.turns_per_sec is the BASELINE.json throughput metric.
+- dedup_documents: same pipeline over the sf documents table.
+- star-schema + text/ANN queries from __spark_entry__ (oracle-checked ones).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+sys.path.insert(0, REPO)
+
+import __spark_entry__ as entry_mod  # noqa: E402
+from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig  # noqa: E402
+from minimizer_jaccard_estimator_spark.operators.dedup import DedupConfig, run_dedup  # noqa: E402
+from minimizer_jaccard_estimator_spark.plans.session import get_spark  # noqa: E402
+from minimizer_jaccard_estimator_spark.sources.transcripts import synthetic_transcripts  # noqa: E402
+
+BENCH_QUERIES = [
+    "a1_multiset_count",
+    "join_agg_revenue",
+    "j1_pair_zip_join",
+    "ngram_jaccard",
+    "token_count",
+    "ann_cosine_topk",
+    "events_window",
+]
+
+SKETCH = SketchConfig(k=12, w=20, hash_type="splitmix64", hash_seed=0,
+                      num_perm=128, lsh_bands=64)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else 0.1
+
+    spark = get_spark(app_name=f"mje-bench-{cpus}", cpus=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+    extra: dict[str, object] = {"cpus": cpus}
+
+    # --- headline: dedup over synthetic transcripts sized by sf ------------
+    n_base = max(200, int(40_000 * sf))
+    t0 = time.monotonic()
+    transcripts = synthetic_transcripts(
+        spark, n_base=n_base, dup_factor=2, seed=42,
+        partitions=max(cpus * 2, 8),
+    ).persist()
+    n_turns = transcripts.count()  # materialize generation outside the timed run
+    gen_sec = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    res = run_dedup(spark, transcripts, DedupConfig(sketch=SKETCH, jaccard_threshold=0.5))
+    n_clusters = res.clusters.select("cluster_id").distinct().count()
+    n_convs = res.clusters.count()
+    dedup_sec = time.monotonic() - t0
+    timings["dedup_pipeline"] = round(dedup_sec, 3)
+    extra.update(
+        n_turns=n_turns, n_convs=n_convs, n_clusters=n_clusters,
+        turns_per_sec=round(n_turns / dedup_sec, 1),
+        corpus_gen_sec=round(gen_sec, 3),
+    )
+    transcripts.unpersist()
+
+    # --- dedup over the sf documents table ---------------------------------
+    t0 = time.monotonic()
+    df = entry_mod.q_dedup_clusters(spark, sf_dir)
+    extra["n_doc_clusters"] = df.select("cluster_id").distinct().count()
+    timings["dedup_documents"] = round(time.monotonic() - t0, 3)
+
+    # --- star-schema / text / ANN queries ----------------------------------
+    qmap = entry_mod.queries()
+    for name in BENCH_QUERIES:
+        t0 = time.monotonic()
+        qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    total = round(sum(timings.values()), 3)
+    print(json.dumps({
+        "metric": "headline_suite_wall",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf,
+        "extra": extra,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
