@@ -1,0 +1,170 @@
+"""Pairwise Jaccard + minimizer estimate + bias correction as a Spark operator.
+
+The reference's second CLI (``jaccard_correction_test.py``) scores a stream of
+sequence pairs single-threaded: exact Jaccard (J3), N hash-replicate minimizer
+Jaccards averaged (A6), and — for invertible, duplicate-free hash configs —
+the scriptD / scriptC / Bias correction analytics (J5, A7–A10).
+
+Spark-first design: the distributed axis is PAIRS.  Each input row carries
+both texts; one ``mapInPandas`` pass runs the vectorized numpy kernels
+(:mod:`..pairwise`, :mod:`..correction`) per pair, so a million pairs fan out
+across executors while each pair's O(matches·w²) inner work stays in one
+Arrow batch.  No per-row Python UDFs; no shuffle beyond the pair join that
+produced the input.
+
+Output columns mirror the reference's TSV report
+(``jaccard_correction_test.py:371-413``): exact I/U/J, replicate-averaged
+Ihat/Uhat/Jbar, D, Jd, C, Bias, and the error columns.  Correction columns are
+NULL when unavailable (non-invertible hash or duplicate hash values — the
+reference's ``--inhibit:correction`` / ValueError paths, ``:426-461``).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    DoubleType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from .. import correction as C
+from .. import kernels as K
+from .. import pairwise as P
+from ..functions.sketch import SketchConfig
+
+REPORT_SCHEMA = StructType(
+    [
+        StructField("name_a", StringType()),
+        StructField("name_b", StringType()),
+        StructField("replicates", IntegerType()),
+        StructField("w", IntegerType()),
+        StructField("k", IntegerType()),
+        StructField("len_nt", LongType()),
+        StructField("n_hashes", LongType()),
+        StructField("i_exact", LongType()),
+        StructField("u_exact", LongType()),
+        StructField("j_exact", DoubleType()),
+        StructField("i_mini_avg", DoubleType()),
+        StructField("u_mini_avg", DoubleType()),
+        StructField("j_mini_avg", DoubleType()),
+        StructField("script_d", LongType()),
+        StructField("jaccard_from_d", DoubleType()),
+        StructField("script_c", DoubleType()),
+        StructField("bias", DoubleType()),
+        StructField("est_error", DoubleType()),
+        StructField("corr_error", DoubleType()),
+    ]
+)
+
+
+def _score_pair(name_a: str, text_a: str, name_b: str, text_b: str,
+                cfg: SketchConfig, seeds: np.ndarray, compute_correction: bool) -> tuple:
+    fp_a = cfg.fingerprints(text_a or "")
+    fp_b = cfg.fingerprints(text_b or "")
+    kd = P.jaccard_exact(fp_a, fp_b)
+
+    mask_k = cfg.k if cfg.mode == "dna" else 32
+    i_r, u_r, j_r = P.jaccard_minimizers_replicates(
+        fp_a, fp_b, seeds, cfg.hash_type, mask_k, cfg.w
+    )
+    n_rep = len(seeds)
+    i_avg = float(i_r.mean())
+    u_avg = float(u_r.mean())
+    j_avg = float(j_r.mean())
+
+    script_d = jaccard_from_d = script_c = bias = corr_error = None
+    if compute_correction:
+        # correction uses replicate 0 only — identical for every replicate of
+        # an invertible hash (reference ``jaccard_correction_test.py:349-353``)
+        try:
+            ha = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_a, mask_k)
+            hb = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_b, mask_k)
+            cd = C.jaccard_correction(ha, hb, cfg.w)
+            script_d = cd.script_d
+            jaccard_from_d = cd.jaccard_from_d
+            script_c = cd.script_c
+            bias = cd.bias
+            corr_error = i_avg - cd.script_c
+        except C.DuplicateHashError:
+            pass  # NA columns, like the reference's --inhibit:correction runs
+
+    return (
+        name_a, name_b, n_rep, cfg.w, cfg.k,
+        len(text_a or ""), int(fp_a.shape[0]),
+        kd.n_intersection, kd.n_union, kd.jaccard,
+        i_avg, u_avg, j_avg,
+        script_d, jaccard_from_d, script_c, bias,
+        j_avg - kd.jaccard, corr_error,
+    )
+
+
+def pairwise_report(
+    pairs: DataFrame,
+    cfg: SketchConfig,
+    correction: str = "auto",
+) -> DataFrame:
+    """Score (name_a, text_a, name_b, text_b) pair rows.
+
+    ``correction='auto'`` computes D/Jd/C/Bias when the hash is invertible
+    (minimap2/splitmix64 — reference gate at ``jaccard_correction_test.py:429-432``)
+    and the pair is duplicate-free; ``'off'`` skips it (NULL columns).
+    """
+    seeds = cfg.seeds()
+    compute_corr = correction == "auto" and K.hash_is_invertible(cfg.hash_type)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = [
+                _score_pair(r.name_a, r.text_a, r.name_b, r.text_b,
+                            cfg, seeds, compute_corr)
+                for r in pdf.itertuples(index=False)
+            ]
+            yield pd.DataFrame(rows, columns=[f.name for f in REPORT_SCHEMA.fields])
+
+    cols = ["name_a", "text_a", "name_b", "text_b"]
+    return pairs.select(*cols).mapInPandas(run, schema=REPORT_SCHEMA)
+
+
+def replicate_report(pairs: DataFrame, cfg: SketchConfig) -> DataFrame:
+    """Per-replicate rows (reference ``--report:replicates``): one row per
+    (pair, replicate) with that replicate's hash seed and Ihat/Uhat/Jhat."""
+    seeds = cfg.seeds()
+    mask_k = cfg.k if cfg.mode == "dna" else 32
+
+    schema = StructType(
+        [
+            StructField("name_a", StringType()),
+            StructField("name_b", StringType()),
+            StructField("replicate", IntegerType()),
+            StructField("hash_seed", LongType()),
+            StructField("i_mini", LongType()),
+            StructField("u_mini", LongType()),
+            StructField("j_mini", DoubleType()),
+        ]
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                fp_a = cfg.fingerprints(r.text_a or "")
+                fp_b = cfg.fingerprints(r.text_b or "")
+                i_r, u_r, j_r = P.jaccard_minimizers_replicates(
+                    fp_a, fp_b, seeds, cfg.hash_type, mask_k, cfg.w
+                )
+                seeds_i64 = K.u64_to_i64(np.asarray(seeds, dtype=np.uint64))
+                for rep in range(len(seeds)):
+                    out.append((r.name_a, r.name_b, rep + 1, int(seeds_i64[rep]),
+                                int(i_r[rep]), int(u_r[rep]), float(j_r[rep])))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return pairs.select("name_a", "text_a", "name_b", "text_b").mapInPandas(run, schema=schema)

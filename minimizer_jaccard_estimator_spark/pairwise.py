@@ -47,3 +47,34 @@ def jaccard_minimizers(hash_a: np.ndarray, hash_b: np.ndarray, w: int) -> Jaccar
     union = int(a.shape[0] + b.shape[0] - inter)
     j = 0.0 if union == 0 else inter / union
     return JaccardStats(inter, union, j, int(a.shape[0]), int(b.shape[0]))
+
+
+def jaccard_minimizers_replicates(
+    fp_a: np.ndarray,
+    fp_b: np.ndarray,
+    seeds: np.ndarray,
+    hash_type: str,
+    k: int,
+    w: int,
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Per-replicate minimizer Jaccard over a seed family — the reference's
+    replicate loop (``jaccard_correction_test.py:310-331``) vectorized per
+    seed: hash the SAME fingerprints under each replicate seed, winnow, and
+    Jaccard the distinct minimizer value sets.
+
+    Returns (I, U, J) arrays of shape (len(seeds),).
+    """
+    from .kernels import apply_hash
+
+    fa = np.asarray(fp_a, dtype=np.uint64)
+    fb = np.asarray(fp_b, dtype=np.uint64)
+    n = len(seeds)
+    i_arr = np.zeros(n, dtype=np.int64)
+    u_arr = np.zeros(n, dtype=np.int64)
+    j_arr = np.zeros(n, dtype=np.float64)
+    for r, s in enumerate(np.asarray(seeds, dtype=np.uint64)):
+        ha = apply_hash(hash_type, int(s), fa, k)
+        hb = apply_hash(hash_type, int(s), fb, k)
+        st = jaccard_minimizers(ha, hb, w)
+        i_arr[r], u_arr[r], j_arr[r] = st.n_intersection, st.n_union, st.jaccard
+    return i_arr, u_arr, j_arr
