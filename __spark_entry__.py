@@ -18,6 +18,8 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig, add_signature, add_sketch
 from minimizer_jaccard_estimator_spark.operators.dedup import DedupConfig, run_dedup
 from minimizer_jaccard_estimator_spark.operators.lsh import lsh_candidate_pairs
+from minimizer_jaccard_estimator_spark.operators.pairwise_analytics import pairwise_report
+from minimizer_jaccard_estimator_spark.operators.sliding import sliding_jaccard
 from minimizer_jaccard_estimator_spark.operators.verify import verify_pairs
 
 _SKETCH = SketchConfig(k=8, w=10, hash_type="splitmix64", hash_seed=0, num_perm=64, lsh_bands=32)
@@ -331,6 +333,40 @@ def q_simhash_hamming(spark, sf):
     )
 
 
+def q_pairwise_report(spark, sf):
+    """Reference CLI #2 as a Spark operator: exact J + replicate-averaged
+    minimizer estimate + bias correction over consecutive-document pairs."""
+    d = _t(spark, sf, "documents")
+    a = d.select(F.col("doc_id").alias("id"), F.col("doc_id").cast("string").alias("name_a"),
+                 F.col("text").alias("text_a"))
+    b = d.select((F.col("doc_id") - 1).alias("id"), F.col("doc_id").cast("string").alias("name_b"),
+                 F.col("text").alias("text_b"))
+    pairs = a.join(b, "id").where(F.col("id") % 10 == 0)  # sample 1/10 of pairs
+    rep = pairwise_report(pairs, _SKETCH)
+    return rep.select(
+        "name_a", "name_b", "i_exact", "u_exact",
+        F.round("j_exact", 6).alias("j_exact"),
+        F.round("j_mini_avg", 6).alias("j_mini_avg"),
+    ).orderBy("name_a")
+
+
+def q_sliding_best_window(spark, sf):
+    """Reference CLI #1 as a Spark operator: best-matching query-length window
+    per document (max sliding minimizer-Jaccard), a substring similarity scan."""
+    d = _t(spark, sf, "documents")
+    q_text = d.where(F.col("doc_id") == 0).select("text").head()["text"][:120]
+    details = sliding_jaccard(
+        d.select(F.col("doc_id").cast("string").alias("name"), F.col("text").alias("seq")),
+        "q0", q_text, _SKETCH, minimizer_mode="global",
+    )
+    return (
+        details.groupBy("ref_name")
+        .agg(F.max("j_kmer").alias("best_j_kmer"), F.max("j_mini").alias("best_j_mini"),
+             F.count("*").alias("n_windows"))
+        .orderBy("ref_name")
+    )
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_multiset_count": q_a1_multiset_count,
@@ -355,6 +391,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters": q_dedup_clusters,
         "verified_pairs": q_verified_pairs,
         "simhash_hamming": q_simhash_hamming,
+        "pairwise_report": q_pairwise_report,
+        "sliding_best_window": q_sliding_best_window,
     }
 
 
