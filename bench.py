@@ -40,7 +40,7 @@ BENCH_QUERIES = [
 ]
 
 SKETCH = SketchConfig(k=12, w=20, hash_type="splitmix64", hash_seed=0,
-                      num_perm=128, lsh_bands=64)
+                      num_perm=128, lsh_bands=32)
 
 
 def main() -> None:

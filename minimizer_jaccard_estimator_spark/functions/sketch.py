@@ -47,6 +47,11 @@ class SketchConfig:
     # MinHash signature axis (reference replicate axis, :200-217)
     num_perm: int = 128
     prng_seed: str = "20210908A"
+    # 'seeded' = reference replicate family (one seeded hash per slot, exact
+    # parity with the reference's replicate axis); 'oph' = one-permutation
+    # hashing with rotation densification (one hash pass total — the
+    # 100TB-scale path; ~100x cheaper, same LSH banding + estimator)
+    minhash_scheme: str = "seeded"  # 'seeded' | 'oph'
     # LSH banding: num_perm = lsh_bands * lsh_rows
     lsh_bands: int = 32
     # SimHash
@@ -61,6 +66,13 @@ class SketchConfig:
         return np.array(
             K.seed_family(self.hash_seed, self.num_perm, self.prng_seed), dtype=np.uint64
         )
+
+    def minhash(self, fingerprints: np.ndarray, seeds: np.ndarray) -> np.ndarray:
+        if self.minhash_scheme == "oph":
+            return K.oph_signature(
+                fingerprints, self.num_perm, self.hash_type, self.hash_seed
+            )
+        return K.minhash_signature(fingerprints, seeds, hash_type=self.hash_type)
 
     def fingerprints(self, text: str) -> np.ndarray:
         if self.mode == "dna":
@@ -141,13 +153,70 @@ def signature_udf(cfg: SketchConfig):
             sigs, sims = [], []
             for t in texts:
                 fp = cfg.fingerprints(t or "")
-                sig = K.minhash_signature(fp, seeds, hash_type=cfg.hash_type)
+                sig = cfg.minhash(fp, seeds)
                 sigs.append(K.u64_to_i64(sig))
                 sh = K.simhash64(fp, cfg.simhash_seed, cfg.hash_type)
                 sims.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
             yield pd.DataFrame({"minhash": sigs, "simhash": np.array(sims, dtype=np.int64)})
 
     return F.pandas_udf(run, SIG_FIELDS)
+
+
+FULL_FIELDS = StructType(SKETCH_FIELDS.fields + SIG_FIELDS.fields)
+
+
+def full_sketch_udf(cfg: SketchConfig):
+    """text -> struct(minimizers, positions, n_shingles, n_dups, minhash,
+    simhash) in ONE shingle pass — the dedup pipeline hot path.
+
+    Fingerprints are computed once per document; the (w,k) winnow, the
+    seed-matrix MinHash (vectorized across all num_perm seeds), and SimHash
+    all reuse them.  Semantically identical to sketch_udf + signature_udf
+    composed (equality is tested), at roughly half the Python cost.
+    """
+    seeds = cfg.seeds()
+
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+        for texts in batches:
+            minis, poss, n_sh, n_dup, sigs, sims = [], [], [], [], [], []
+            for t in texts:
+                fp = cfg.fingerprints(t or "")
+                if cfg.mode == "dna":
+                    # dna sentinel semantics live in hash_dna_sequence
+                    h = cfg.hash_sequence(t or "")
+                elif fp.size:
+                    h = K.apply_hash(cfg.hash_type, cfg.hash_seed, fp, cfg.k)
+                else:
+                    h = fp
+                v, p = K.winnow_minimizers(h, cfg.w)
+                minis.append(K.u64_to_i64(v))
+                poss.append(p.astype(np.int32))
+                n_sh.append(h.shape[0])
+                n_dup.append(K.count_hash_duplicates(h))
+                sig = cfg.minhash(fp, seeds)
+                sigs.append(K.u64_to_i64(sig))
+                sh = K.simhash64(fp, cfg.simhash_seed, cfg.hash_type)
+                sims.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
+            yield pd.DataFrame(
+                {
+                    "minimizers": minis,
+                    "positions": poss,
+                    "n_shingles": np.array(n_sh, dtype=np.int64),
+                    "n_dups": np.array(n_dup, dtype=np.int64),
+                    "minhash": sigs,
+                    "simhash": np.array(sims, dtype=np.int64),
+                }
+            )
+
+    return F.pandas_udf(run, FULL_FIELDS)
+
+
+def add_full_sketch(df: DataFrame, cfg: SketchConfig, text_col: str = "text") -> DataFrame:
+    s = full_sketch_udf(cfg)(F.col(text_col)).alias("_sk")
+    return df.select("*", s).select(
+        *df.columns,
+        *[F.col(f"_sk.{f.name}").alias(f.name) for f in FULL_FIELDS.fields],
+    )
 
 
 def hash_sequence_udf(cfg: SketchConfig, seed: int | None = None):

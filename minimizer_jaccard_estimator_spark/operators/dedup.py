@@ -18,11 +18,12 @@ from dataclasses import dataclass
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
-from ..functions.sketch import SketchConfig, add_signature, add_sketch
+from ..functions.sketch import SketchConfig, add_full_sketch
 from ..plans.catalog import StageStore
 from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
 from .lsh import exact_dup_pairs, lsh_candidate_pairs, simhash_filter
+from .substring import duplicate_spans, substring_dup_pairs
 from .verify import attach_pair_columns, verify_pairs
 
 
@@ -33,6 +34,16 @@ class DedupConfig:
     simhash_max_hamming: int | None = None  # None => prefilter off
     max_bucket_size: int | None = 1000
     salt_partitions: int | None = None  # explicit salted repartition of turns
+    # suffix-array substring pass (north_rule): also link pairs whose exact
+    # shared spans cover >= substring_min_cov of either side's bytes
+    substring_min_len: int | None = None  # None => pass off
+    substring_min_cov: float = 0.8
+    # round-robin rebalance of assembled conversations before the sketch UDF:
+    # the assembly shuffle is keyed by conv_id, so hot conversations (8x-size
+    # skew family) cluster into straggler partitions; an explicit rebalance
+    # costs one text shuffle but removes the tail wave from the most
+    # expensive stage (measured ~1.8x on the sketch stage at local[32])
+    rebalance_sketch: bool = True
 
 
 @dataclass
@@ -42,6 +53,7 @@ class DedupResult:
     candidates: DataFrame
     verified: DataFrame
     clusters: DataFrame
+    spans: DataFrame | None = None  # suffix-array pass output (if enabled)
 
 
 def run_dedup(
@@ -69,8 +81,10 @@ def run_dedup(
     if store.exists("sketches"):
         sketches = store.load(spark, "sketches")
     else:
-        sk = add_sketch(conv_text.select("conv_id", "text"), cfg.sketch)
-        sk = add_signature(sk, cfg.sketch).drop("text")
+        src = conv_text.select("conv_id", "text")
+        if cfg.rebalance_sketch:
+            src = src.repartition(spark.sparkContext.defaultParallelism * 2)
+        sk = add_full_sketch(src, cfg.sketch).drop("text")
         sketches = store.materialize(spark, "sketches", sk)
     if store.root is None:
         sketches = sketches.persist()
@@ -99,11 +113,30 @@ def run_dedup(
         verified = verify_pairs(candidates, sketches.select("conv_id", "minimizers"))
         verified = store.materialize(spark, "verified", verified)
 
+    # -- suffix-array substring pass: exact duplicate spans as extra edges
+    spans = None
+    if cfg.substring_min_len is not None:
+        if store.exists("spans"):
+            spans = store.load(spark, "spans")
+        else:
+            sp = duplicate_spans(
+                conv_text,
+                cfg.substring_min_len,
+                hash_type=cfg.sketch.hash_type,
+                seed=cfg.sketch.hash_seed,
+            )
+            spans = store.materialize(spark, "spans", sp)
+
     # -- cluster the accepted pairs; isolated convs cluster as themselves
     if store.exists("clusters"):
         clusters = store.load(spark, "clusters")
     else:
         accepted = verified.where(F.col("j_mini") >= cfg.jaccard_threshold)
+        accepted = accepted.select("id_a", "id_b")
+        if spans is not None:
+            accepted = accepted.union(
+                substring_dup_pairs(spans, cfg.substring_min_cov)
+            ).distinct()
         comp = connected_components(accepted)
         all_ids = conv_text.select("conv_id")
         clusters = (
@@ -113,4 +146,4 @@ def run_dedup(
         clusters = store.materialize(spark, "clusters", clusters)
 
     store.write_metrics(spark)
-    return DedupResult(conv_text, sketches, candidates, verified, clusters)
+    return DedupResult(conv_text, sketches, candidates, verified, clusters, spans)

@@ -1,0 +1,219 @@
+"""Distributed suffix-array pass: exact substring-level duplicate spans.
+
+north_rule requirement: "a distributed suffix-array pass for exact
+substring-level duplicate spans".  Design (Spark-first, no per-row Python):
+
+1. **Anchor stage** — every document is winnowed into (w,k) minimizer anchors
+   of its byte shingles (same kernels as the sketch stage, reference
+   ``winnowed_minimizers.py:18-53``), with ``k + w - 1 = min_len``.  The
+   winnowing guarantee (Schleimer et al., MOSS): any two documents sharing an
+   exact substring of length >= min_len share at least one anchor VALUE, so
+   the anchor equi-join has perfect recall for spans >= min_len.
+2. **Candidate join** — exploded ``(doc_id, anchor)`` self-join on anchor
+   hash, hot anchors capped by frequency (stop-shingle removal) exactly like
+   the LSH bucket cap; this is the scale knob that keeps the shuffle linear
+   in corpus size rather than quadratic in bucket size.
+3. **Verify stage** — candidate pairs join back to their texts and a
+   vectorized pandas UDF runs the per-pair suffix-array kernel
+   (:mod:`..suffix`: prefix-doubling SA + Kasai LCP over ``a+SEP+b``) to emit
+   exact maximal duplicate spans, coverage, and the longest shared substring.
+
+At cluster scale each stage is a plain shuffle-on-key: anchors are uniformly
+distributed 64-bit hashes (no key skew by construction after the frequency
+cap), and verification is embarrassingly parallel per pair.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StructField,
+    StructType,
+)
+
+from .. import kernels as K
+from ..suffix import substring_stats
+
+
+def anchor_params(min_len: int) -> tuple[int, int]:
+    """(k, w) with k + w - 1 == min_len (winnowing detection guarantee)."""
+    if min_len < 4:
+        raise ValueError("min_len must be >= 4")
+    k = min(32, max(4, (min_len + 1) // 2))
+    w = min_len - k + 1
+    return k, w
+
+
+_ANCHOR_SCHEMA = ArrayType(
+    StructType([StructField("anchor", LongType()), StructField("pos", IntegerType())])
+)
+
+
+def _anchor_udf(min_len: int, hash_type: str, seed: int):
+    k, w = anchor_params(min_len)
+
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            out = []
+            for t in texts:
+                h = K.hash_text_shingles(t or "", k, hash_type, seed)
+                v, p = K.winnow_minimizers(h, w)
+                iv = K.u64_to_i64(v)
+                out.append([{"anchor": int(a), "pos": int(q)} for a, q in zip(iv, p)])
+            yield pd.Series(out)
+
+    return F.pandas_udf(run, _ANCHOR_SCHEMA)
+
+
+def anchor_table(
+    docs: DataFrame,
+    min_len: int,
+    hash_type: str = "splitmix64",
+    seed: int = 0,
+    id_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Exploded (id, anchor, pos) winnowed-anchor table."""
+    u = _anchor_udf(min_len, hash_type, seed)
+    return (
+        docs.select(F.col(id_col).alias("id"), u(F.col(text_col)).alias("_a"))
+        .select("id", F.explode("_a").alias("a"))
+        .select("id", F.col("a.anchor").alias("anchor"), F.col("a.pos").alias("pos"))
+    )
+
+
+def substring_candidate_pairs(
+    anchors: DataFrame, max_bucket_size: int | None = 200
+) -> DataFrame:
+    """Distinct (id_a < id_b) pairs sharing >=1 anchor value.
+
+    Hot anchors (> max_bucket_size docs) are dropped before the self-join —
+    they are boilerplate shingles whose pair blow-up is quadratic; real
+    duplicate spans longer than min_len always contribute additional, rarer
+    anchors.  Map-side the per-doc duplicate anchors collapse via distinct.
+    """
+    per_doc = anchors.select("id", "anchor").distinct()
+    if max_bucket_size is not None:
+        freq = per_doc.groupBy("anchor").agg(F.count("*").alias("n_docs"))
+        keep = freq.where(F.col("n_docs") <= max_bucket_size).select("anchor")
+        per_doc = per_doc.join(keep, "anchor")
+    a = per_doc.select(F.col("anchor"), F.col("id").alias("id_a"))
+    b = per_doc.select(F.col("anchor"), F.col("id").alias("id_b"))
+    return (
+        a.join(b, "anchor")
+        .where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+
+
+_SPAN_SCHEMA = StructType(
+    [
+        StructField("cov_a", LongType()),
+        StructField("cov_b", LongType()),
+        StructField("longest", LongType()),
+        StructField(
+            "spans",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("pos_a", IntegerType()),
+                        StructField("pos_b", IntegerType()),
+                        StructField("length", IntegerType()),
+                    ]
+                )
+            ),
+        ),
+    ]
+)
+
+
+def _span_udf(min_len: int, max_spans: int):
+    def run(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
+        for ta, tb in it:
+            cov_a, cov_b, longest, spans = [], [], [], []
+            for x, y in zip(ta, tb):
+                st = substring_stats(x or "", y or "", min_len)
+                cov_a.append(st["cov_a"])
+                cov_b.append(st["cov_b"])
+                longest.append(st["longest"])
+                spans.append(
+                    [
+                        {"pos_a": pa, "pos_b": pb, "length": ln}
+                        for pa, pb, ln in st["spans"][:max_spans]
+                    ]
+                )
+            yield pd.DataFrame(
+                {
+                    "cov_a": np.array(cov_a, dtype=np.int64),
+                    "cov_b": np.array(cov_b, dtype=np.int64),
+                    "longest": np.array(longest, dtype=np.int64),
+                    "spans": spans,
+                }
+            )
+
+    return F.pandas_udf(run, _SPAN_SCHEMA)
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int,
+    hash_type: str = "splitmix64",
+    seed: int = 0,
+    max_bucket_size: int | None = 200,
+    max_spans_per_pair: int = 64,
+    id_col: str = "conv_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """End-to-end suffix-array duplicate-span pass.
+
+    Output: one row per candidate doc pair with exact duplicated-byte
+    coverage on each side, the longest shared substring, and (capped) maximal
+    span coordinates.  Pairs with no span >= min_len are dropped.
+    """
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    anchors = anchor_table(base, min_len, hash_type, seed, id_col="id")
+    pairs = substring_candidate_pairs(anchors, max_bucket_size)
+    ta = base.select(F.col("id").alias("id_a"), F.col("text").alias("_text_a"),
+                     F.length("text").alias("len_a"))
+    tb = base.select(F.col("id").alias("id_b"), F.col("text").alias("_text_b"),
+                     F.length("text").alias("len_b"))
+    joined = pairs.join(ta, "id_a").join(tb, "id_b")
+    st = _span_udf(min_len, max_spans_per_pair)(F.col("_text_a"), F.col("_text_b")).alias("_st")
+    return (
+        joined.select("id_a", "id_b", "len_a", "len_b", st)
+        .select(
+            "id_a",
+            "id_b",
+            "len_a",
+            "len_b",
+            F.col("_st.cov_a").alias("cov_a"),
+            F.col("_st.cov_b").alias("cov_b"),
+            F.col("_st.longest").alias("longest"),
+            F.size("_st.spans").alias("n_spans"),
+            F.col("_st.spans").alias("spans"),
+        )
+        .where(F.col("longest") >= min_len)
+    )
+
+
+def substring_dup_pairs(
+    spans: DataFrame, min_cov_frac: float = 0.5
+) -> DataFrame:
+    """(id_a, id_b) pairs where either side has >= min_cov_frac of its bytes
+    inside exact duplicate spans — the candidate source fed into the dedup
+    pipeline's verify/cluster stages."""
+    frac_a = F.col("cov_a") / F.greatest(F.col("len_a"), F.lit(1))
+    frac_b = F.col("cov_b") / F.greatest(F.col("len_b"), F.lit(1))
+    return (
+        spans.where((frac_a >= min_cov_frac) | (frac_b >= min_cov_frac))
+        .select("id_a", "id_b")
+    )

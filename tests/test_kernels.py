@@ -235,3 +235,77 @@ def test_u64_i64_roundtrip():
 def test_count_hash_duplicates():
     assert K.count_hash_duplicates(np.array([1, 2, 2, 3, 3, 3], dtype=np.uint64)) == 3
     assert K.count_hash_duplicates(np.array([], dtype=np.uint64)) == 0
+
+
+@given(
+    st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=0, max_size=40),
+    st.lists(st.integers(min_value=0, max_value=(1 << 64) - 1), min_size=1, max_size=8),
+)
+@settings(deadline=None, max_examples=40)
+def test_apply_hash_matrix_matches_looped(vals, seeds):
+    v = np.array(vals, dtype=np.uint64)
+    for ht in K.HASH_TYPES:
+        m = K.apply_hash_matrix(ht, np.array(seeds, dtype=np.uint64), v, 16)
+        for i, s in enumerate(seeds):
+            expect = K.apply_hash(ht, s, v, 16)
+            assert m[i].tolist() == expect.tolist(), ht
+
+
+def test_minhash_signature_chunked_matches_loop():
+    rng = np.random.default_rng(3)
+    fp = rng.integers(0, 1 << 63, size=5000, dtype=np.uint64)
+    seeds = rng.integers(0, 1 << 63, size=64, dtype=np.uint64)
+    for ht in K.HASH_TYPES:
+        fast = K.minhash_signature(fp, seeds, hash_type=ht)
+        slow = np.array(
+            [K.apply_hash(ht, int(s), np.unique(fp), 32).min() for s in seeds],
+            dtype=np.uint64,
+        )
+        assert fast.tolist() == slow.tolist(), ht
+
+
+def test_oph_signature_deterministic_and_dense():
+    rng = np.random.default_rng(9)
+    fp = rng.integers(0, 1 << 63, size=3000, dtype=np.uint64)
+    a = K.oph_signature(fp, 128)
+    b = K.oph_signature(fp, 128)
+    assert a.tolist() == b.tolist()
+    # all slots populated after densification
+    assert (a != np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+    # subset invariance: slot values are mins of the hash set
+    h = K.apply_hash("splitmix64", 0, np.unique(fp), 32)
+    assert set(a.tolist()) <= set(h.tolist())
+
+
+def test_oph_estimator_tracks_jaccard():
+    rng = np.random.default_rng(11)
+    base = rng.integers(0, 1 << 63, size=4000, dtype=np.uint64)
+    other = rng.integers(0, 1 << 63, size=4000, dtype=np.uint64)
+    for frac in (1.0, 0.8, 0.5):
+        n_keep = int(4000 * frac)
+        bset = np.concatenate([base[:n_keep], other[: 4000 - n_keep]])
+        j_true = len(set(base.tolist()) & set(bset.tolist())) / len(
+            set(base.tolist()) | set(bset.tolist())
+        )
+        sa = K.oph_signature(base, 256)
+        sb = K.oph_signature(bset, 256)
+        est = float((sa == sb).mean())
+        assert abs(est - j_true) < 0.12, (frac, est, j_true)
+
+
+def test_oph_empty_input():
+    out = K.oph_signature(np.empty(0, dtype=np.uint64), 64)
+    assert (out == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
+
+
+def test_simhash_fast_path_matches_shift_matrix():
+    rng = np.random.default_rng(21)
+    fp = rng.integers(0, 1 << 63, size=500, dtype=np.uint64)
+    got = K.simhash64(fp, seed=7)
+    h = K.apply_hash("splitmix64", 7, np.unique(fp), 32)
+    bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :]) & np.uint64(1)).astype(np.int64)
+    votes = bits.sum(axis=0) * 2 - h.shape[0]
+    expect = 0
+    for b in np.nonzero(votes > 0)[0]:
+        expect |= 1 << int(b)
+    assert got == expect

@@ -178,3 +178,29 @@ def test_corpus_determinism_across_parallelism(spark):
     rows_a = sorted(map(tuple, a.collect()))
     rows_b = sorted(map(tuple, b.collect()))
     assert rows_a == rows_b
+
+
+def test_full_sketch_udf_equals_composed(spark):
+    """add_full_sketch == add_sketch ∘ add_signature on identical input."""
+    from minimizer_jaccard_estimator_spark.functions.sketch import (
+        SketchConfig,
+        add_full_sketch,
+        add_signature,
+        add_sketch,
+    )
+
+    cfg = SketchConfig(k=6, w=5, num_perm=16, lsh_bands=8)
+    docs = spark.createDataFrame(
+        [(str(i), f"token{i} alpha beta gamma delta {'x' * (i % 7)} end") for i in range(25)],
+        ["conv_id", "text"],
+    )
+    full = {r["conv_id"]: r for r in add_full_sketch(docs, cfg).collect()}
+    composed = {
+        r["conv_id"]: r
+        for r in add_signature(add_sketch(docs, cfg), cfg).collect()
+    }
+    assert full.keys() == composed.keys()
+    for cid, fr in full.items():
+        cr = composed[cid]
+        for col in ("minimizers", "positions", "n_shingles", "n_dups", "minhash", "simhash"):
+            assert fr[col] == cr[col], (cid, col)
