@@ -367,6 +367,54 @@ def q_sliding_best_window(spark, sf):
     )
 
 
+def q_media_digest(spark, sf):
+    """Multimodal plumbing: documents-as-binary media with typed kind and
+    content digest (decode itself is stubbed; the binary column, schema and
+    digest path are real)."""
+    from minimizer_jaccard_estimator_spark.operators.multimodal import synthetic_media
+
+    d = _t(spark, sf, "documents")
+    m = synthetic_media(d)
+    return (
+        m.select(
+            "media_id", "kind",
+            F.length("content").cast("long").alias("n_bytes"),
+            F.sha2("content", 256).alias("digest"),
+        )
+        .orderBy("media_id")
+    )
+
+
+def q_media_neardup(spark, sf):
+    """Near-dup media pairs: stub features -> hyperplane bucket -> cosine."""
+    from minimizer_jaccard_estimator_spark.operators.multimodal import (
+        extract_features,
+        media_neardup_pairs,
+        synthetic_media,
+    )
+
+    d = _t(spark, sf, "documents")
+    feats = extract_features(synthetic_media(d), dim=32)
+    return (
+        media_neardup_pairs(feats, threshold=0.9999)
+        .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+def q_substring_dup_spans(spark, sf):
+    """Suffix-array pass: exact duplicate spans >= 32 bytes between docs."""
+    from minimizer_jaccard_estimator_spark.operators.substring import duplicate_spans
+
+    d = _t(spark, sf, "documents").select(
+        F.col("doc_id").cast("string").alias("conv_id"), "text"
+    )
+    sp = duplicate_spans(d, min_len=32)
+    return sp.select(
+        "id_a", "id_b", "len_a", "len_b", "cov_a", "cov_b", "longest", "n_spans"
+    ).orderBy("id_a", "id_b")
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "a1_multiset_count": q_a1_multiset_count,
@@ -393,6 +441,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "pairwise_report": q_pairwise_report,
         "sliding_best_window": q_sliding_best_window,
+        "media_digest": q_media_digest,
+        "media_neardup": q_media_neardup,
+        "substring_dup_spans": q_substring_dup_spans,
     }
 
 
@@ -518,5 +569,13 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM e, q WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+        "media_digest": """
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
+                   CASE CAST(doc_id % 3 AS INT) WHEN 0 THEN 'image'
+                        WHEN 1 THEN 'audio' ELSE 'video' END AS kind,
+                   octet_length(encode(text)) AS n_bytes,
+                   sha256(text) AS digest
+            FROM documents ORDER BY media_id
         """,
     }

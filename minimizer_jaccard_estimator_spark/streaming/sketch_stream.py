@@ -1,0 +1,155 @@
+"""Structured Streaming ingestion: stateful conversation assembly + sketches.
+
+The reference's algorithms are single-pass generators with bounded state
+(SURVEY.md §2.10); their Spark-streaming equivalent is a stateful
+per-conversation aggregation.  This module streams raw turn rows
+(``conv_id, turn_idx, role, text, tool, ts``) and maintains, per
+conversation, the set of turns seen so far; every micro-batch it re-emits the
+assembled text and fresh sketch/signature for conversations that changed.
+
+Semantics contract (tested): after all input is processed, the latest emitted
+row per conv_id is IDENTICAL to the batch pipeline's assemble+sketch output
+on the same turns — late/out-of-order turn arrival included, because state
+keeps (turn_idx, text) pairs and re-sorts on every emit, exactly like the
+batch ``array_sort(collect_list(struct(turn_idx, text)))`` path.
+
+Scale notes: state per key is O(conversation text); hot conversations are
+bounded by the same per-conv turn counts as the batch path.  On a real
+cluster this runs with RocksDB state store + watermark-based state TTL
+(``state_timeout_ms``); sinks are per-batch appends with ``batch_id`` so the
+"current" view is ``max_by(*, batch_id) group by conv_id`` — an upsert
+without requiring a table format with row-level updates.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from ..functions.sketch import SketchConfig, add_full_sketch
+
+# state: accumulated turns of one conversation
+_STATE_SCHEMA = "turn_idxs array<int>, texts array<string>"
+
+ASSEMBLED_SCHEMA = StructType(
+    [
+        StructField("conv_id", StringType()),
+        StructField("n_turns", IntegerType()),
+        StructField("text", StringType()),
+        StructField("text_len", LongType()),
+    ]
+)
+
+
+def _assemble_func(sep: str, timeout_ms: int | None):
+    def fn(
+        key: tuple,
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            state.remove()
+            return
+        idxs, texts = state.get if state.exists else ([], [])
+        idxs, texts = list(idxs), list(texts)
+        for pdf in pdfs:
+            idxs.extend(int(i) for i in pdf["turn_idx"])
+            texts.extend("" if t is None else str(t) for t in pdf["text"])
+        state.update((idxs, texts))
+        if timeout_ms is not None:
+            state.setTimeoutDuration(timeout_ms)
+        order = sorted(range(len(idxs)), key=lambda i: (idxs[i], texts[i]))
+        joined = sep.join(texts[i] for i in order)
+        yield pd.DataFrame(
+            {
+                "conv_id": [key[0]],
+                "n_turns": [len(idxs)],
+                "text": [joined],
+                "text_len": [len(joined.encode("utf-8"))],
+            }
+        )
+
+    return fn
+
+
+def assemble_stream(
+    turns: DataFrame,
+    sep: str = "\n",
+    state_timeout_ms: int | None = None,
+) -> DataFrame:
+    """Streaming per-conversation assembly (update mode).
+
+    Emits one row per conversation per micro-batch in which it received
+    turns; each emission reflects ALL turns seen so far in stable
+    (turn_idx, text) order — the streaming twin of
+    :func:`..sources.transcripts.assemble_conversations`.
+    """
+    timeout = (
+        GroupStateTimeout.ProcessingTimeTimeout
+        if state_timeout_ms is not None
+        else GroupStateTimeout.NoTimeout
+    )
+    return (
+        turns.select("conv_id", "turn_idx", "text")
+        .groupBy("conv_id")
+        .applyInPandasWithState(
+            _assemble_func(sep, state_timeout_ms),
+            outputStructType=ASSEMBLED_SCHEMA,
+            stateStructType=_STATE_SCHEMA,
+            outputMode="update",
+            timeoutConf=timeout,
+        )
+    )
+
+
+def start_sketch_stream(
+    spark: SparkSession,
+    turns: DataFrame,
+    cfg: SketchConfig,
+    sink_path: str,
+    checkpoint_path: str,
+    sep: str = "\n",
+    state_timeout_ms: int | None = None,
+):
+    """readStream(turns) -> stateful assembly -> full sketch -> parquet sink.
+
+    Every batch appends the refreshed (conv_id, sketch, signature) rows with
+    the micro-batch id; :func:`latest_sketches` reads back the current view.
+    Returns the StreamingQuery (caller awaits/stops).
+    """
+    assembled = assemble_stream(turns, sep=sep, state_timeout_ms=state_timeout_ms)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        out = add_full_sketch(batch_df, cfg).drop("text").withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        out.write.mode("append").parquet(sink_path)
+
+    return (
+        assembled.writeStream.foreachBatch(emit)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def latest_sketches(spark: SparkSession, sink_path: str) -> DataFrame:
+    """Current sketch per conversation = row with the highest batch_id
+    (ties impossible: one emission per conv per batch)."""
+    df = spark.read.parquet(sink_path)
+    cols = [c for c in df.columns if c not in ("conv_id", "batch_id")]
+    agg = df.groupBy("conv_id").agg(
+        F.max_by(F.struct(*cols), F.col("batch_id")).alias("_s")
+    )
+    return agg.select("conv_id", *[F.col(f"_s.{c}").alias(c) for c in cols])

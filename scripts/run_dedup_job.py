@@ -1,0 +1,78 @@
+#!/usr/bin/env python3
+"""Cluster entry point: spark-submit driver for the dedup pipeline.
+
+  spark-submit --py-files dist/minimizer_jaccard_estimator_spark.zip \
+      scripts/run_dedup_job.py \
+      --input  <transcripts table: iceberg name or parquet path> \
+      --output <stage-store root (parquet dir or iceberg namespace)> \
+      [--k 12 --w 20 --num-perm 128 --bands 32 --threshold 0.5] \
+      [--minhash-scheme oph] [--substring-min-len 64] [--resume]
+
+The stage store checkpoints every stage (conv_text, sketches, candidates,
+verified, spans, clusters) under --output; re-running with --resume picks up
+after the last completed stage.  Per-stage row counts + wall times land in
+``<output>/_metrics`` — the pipeline's lineage record.
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from pyspark.sql import SparkSession
+
+from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
+from minimizer_jaccard_estimator_spark.operators.dedup import DedupConfig, run_dedup
+from minimizer_jaccard_estimator_spark.plans.catalog import StageStore
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--input", required=True)
+    ap.add_argument("--output", required=True)
+    ap.add_argument("--k", type=int, default=12)
+    ap.add_argument("--w", type=int, default=20)
+    ap.add_argument("--hash", default="splitmix64")
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--num-perm", type=int, default=128)
+    ap.add_argument("--bands", type=int, default=32)
+    ap.add_argument("--threshold", type=float, default=0.5)
+    ap.add_argument("--minhash-scheme", default="seeded", choices=["seeded", "oph"])
+    ap.add_argument("--simhash-max-hamming", type=int, default=None)
+    ap.add_argument("--substring-min-len", type=int, default=None)
+    ap.add_argument("--resume", action="store_true",
+                    help="reuse completed stage tables under --output")
+    args = ap.parse_args()
+
+    spark = SparkSession.builder.appName("mje-dedup").getOrCreate()
+
+    if args.input.endswith((".parquet", "/")) or "/" in args.input:
+        transcripts = spark.read.parquet(args.input)
+    else:
+        transcripts = spark.read.table(args.input)
+
+    sketch = SketchConfig(
+        k=args.k, w=args.w, hash_type=args.hash, hash_seed=args.seed,
+        num_perm=args.num_perm, lsh_bands=args.bands,
+        minhash_scheme=args.minhash_scheme,
+    )
+    cfg = DedupConfig(
+        sketch=sketch,
+        jaccard_threshold=args.threshold,
+        simhash_max_hamming=args.simhash_max_hamming,
+        substring_min_len=args.substring_min_len,
+    )
+    store = StageStore(root=args.output)
+    if not args.resume:
+        # fresh run: ignore stale stage tables by clearing the success markers
+        import shutil, os
+        if os.path.exists(args.output):
+            shutil.rmtree(args.output)
+
+    res = run_dedup(spark, transcripts, cfg, store=store)
+    n = res.clusters.count()
+    k = res.clusters.select("cluster_id").distinct().count()
+    print(f"dedup complete: {n} conversations in {k} clusters -> {args.output}/clusters")
+
+
+if __name__ == "__main__":
+    main()
