@@ -367,6 +367,26 @@ def q_sliding_best_window(spark, sf):
     )
 
 
+def q_embedding_neardup(spark, sf):
+    """Embedding-cosine near-dup pairs: all (i < j) vector pairs with cosine
+    >= 0.99 — the brute-force oracle path of similarity dedup (JVM-side
+    higher-order array functions, no Python)."""
+    emb = _t(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    norm = F.sqrt(F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda s, x: s + x))
+    e = emb.select("vec_id", F.transform("v", lambda a: a / norm).alias("u"))
+    a = e.select(F.col("vec_id").alias("id_a"), F.col("u").alias("ua"))
+    b = e.select(F.col("vec_id").alias("id_b"), F.col("u").alias("ub"))
+    j = a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+    cos = F.aggregate(F.zip_with("ua", "ub", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
+    return (
+        j.select("id_a", "id_b", F.round(cos, 4).alias("cosine"))
+        .where(F.col("cosine") >= 0.99)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_media_digest(spark, sf):
     """Multimodal plumbing: documents-as-binary media with typed kind and
     content digest (decode itself is stubbed; the binary column, schema and
@@ -441,6 +461,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "pairwise_report": q_pairwise_report,
         "sliding_best_window": q_sliding_best_window,
+        "embedding_neardup": q_embedding_neardup,
         "media_digest": q_media_digest,
         "media_neardup": q_media_neardup,
         "substring_dup_spans": q_substring_dup_spans,
@@ -569,6 +590,20 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM e, q WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+        "embedding_neardup": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                                   CAST(embedding AS DOUBLE[])))) AS u
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.u, b.u), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.u, b.u), 4) >= 0.99
+            ORDER BY id_a, id_b
         """,
         "media_digest": """
             SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,

@@ -39,8 +39,10 @@ BENCH_QUERIES = [
     "events_window",
 ]
 
+# scale configuration: OPH signatures + staged verify (dup-pair recall >= 0.99
+# re-verified in tests/test_pipeline.py; final accepts are exact either way)
 SKETCH = SketchConfig(k=12, w=20, hash_type="splitmix64", hash_seed=0,
-                      num_perm=128, lsh_bands=32)
+                      num_perm=128, lsh_bands=32, minhash_scheme="oph")
 
 
 def main() -> None:
@@ -65,7 +67,8 @@ def main() -> None:
     gen_sec = time.monotonic() - t0
 
     t0 = time.monotonic()
-    res = run_dedup(spark, transcripts, DedupConfig(sketch=SKETCH, jaccard_threshold=0.5))
+    res = run_dedup(spark, transcripts,
+                    DedupConfig(sketch=SKETCH, jaccard_threshold=0.5, staged_verify=True))
     n_clusters = res.clusters.select("cluster_id").distinct().count()
     n_convs = res.clusters.count()
     dedup_sec = time.monotonic() - t0

@@ -24,7 +24,7 @@ from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
 from .lsh import exact_dup_pairs, lsh_candidate_pairs, simhash_filter
 from .substring import duplicate_spans, substring_dup_pairs
-from .verify import attach_pair_columns, verify_pairs
+from .verify import attach_pair_columns, verify_pairs, verify_pairs_staged
 
 
 @dataclass
@@ -44,6 +44,12 @@ class DedupConfig:
     # costs one text shuffle but removes the tail wave from the most
     # expensive stage (measured ~1.8x on the sketch stage at local[32])
     rebalance_sketch: bool = True
+    # staged verify: MinHash-agreement prefilter (~1KB/doc shuffled) before
+    # the exact minimizer-set verify (~10KB/doc) — recall-safe margin below
+    # the accept threshold (>4 sigma at num_perm=128); final accepts are
+    # always exact either way
+    staged_verify: bool = False
+    staged_verify_margin: float = 0.2
 
 
 @dataclass
@@ -110,7 +116,15 @@ def run_dedup(
     if store.exists("verified"):
         verified = store.load(spark, "verified")
     else:
-        verified = verify_pairs(candidates, sketches.select("conv_id", "minimizers"))
+        if cfg.staged_verify:
+            verified = verify_pairs_staged(
+                candidates,
+                sketches.select("conv_id", "minimizers", "minhash"),
+                cfg.jaccard_threshold,
+                cfg.staged_verify_margin,
+            )
+        else:
+            verified = verify_pairs(candidates, sketches.select("conv_id", "minimizers"))
         verified = store.materialize(spark, "verified", verified)
 
     # -- suffix-array substring pass: exact duplicate spans as extra edges

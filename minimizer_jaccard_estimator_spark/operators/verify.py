@@ -21,6 +21,49 @@ def attach_pair_columns(
     return pairs.join(a, "id_a").join(b, "id_b")
 
 
+def signature_estimate(
+    candidates: DataFrame,
+    signatures: DataFrame,
+    id_col: str = "conv_id",
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """(id_a, id_b, j_sig): MinHash agreement fraction per candidate pair.
+
+    The cheap pre-verify: signatures are num_perm longs (~1KB) vs full
+    minimizer arrays (~10x more), so estimating J from slot agreement first
+    and only shipping arrays for plausible pairs cuts the verify shuffle.
+    std(j_sig) = sqrt(J(1-J)/num_perm) — at 128 perms a 0.2 margin below the
+    accept threshold is > 4 sigma, so staged filtering is recall-safe.
+    """
+    joined = attach_pair_columns(candidates, signatures, [sig_col], id_col)
+    a, b = f"{sig_col}_a", f"{sig_col}_b"
+    agree = F.size(
+        F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda eq: eq)
+    )
+    return joined.select(
+        "id_a", "id_b", (agree / F.size(a)).alias("j_sig")
+    )
+
+
+def verify_pairs_staged(
+    candidates: DataFrame,
+    sketches: DataFrame,
+    threshold: float,
+    margin: float = 0.2,
+    id_col: str = "conv_id",
+    set_col: str = "minimizers",
+    sig_col: str = "minhash",
+) -> DataFrame:
+    """Two-stage verify: signature-estimate filter, then exact minimizer
+    Jaccard on the survivors.  Output schema == verify_pairs (survivors
+    only); final accept decisions remain exact."""
+    est = signature_estimate(candidates, sketches.select(id_col, sig_col), id_col, sig_col)
+    plausible = est.where(F.col("j_sig") >= F.lit(max(0.0, threshold - margin)))
+    return verify_pairs(
+        plausible.select("id_a", "id_b"), sketches.select(id_col, set_col), id_col, set_col
+    )
+
+
 def verify_pairs(
     candidates: DataFrame,
     sketches: DataFrame,

@@ -204,3 +204,40 @@ def test_full_sketch_udf_equals_composed(spark):
         cr = composed[cid]
         for col in ("minimizers", "positions", "n_shingles", "n_dups", "minhash", "simhash"):
             assert fr[col] == cr[col], (cid, col)
+
+
+def test_dedup_recall_with_oph_candidates(spark):
+    """OPH candidate generation keeps recall >= 0.99: the verify stage is
+    still exact minimizer Jaccard, so final clusters must match the same
+    brute-force reference truth as the seeded scheme."""
+    import dataclasses
+
+    t = synthetic_transcripts(spark, n_base=60, dup_factor=3, seed=42)
+    oph = dataclasses.replace(SKETCH, minhash_scheme="oph", lsh_bands=32)
+    res = run_dedup(spark, t, DedupConfig(sketch=oph, jaccard_threshold=THETA))
+
+    texts = {r["conv_id"]: r["text"] for r in res.conv_text.select("conv_id", "text").collect()}
+    truth_same_cluster, _ = brute_force_clusters(texts, oph, THETA)
+    ours = {r["conv_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    our_pairs = {
+        (a, b) for a, b in itertools.combinations(sorted(texts), 2)
+        if ours[a] == ours[b]
+    }
+    recall = len(our_pairs & truth_same_cluster) / len(truth_same_cluster)
+    assert recall >= 0.99, f"oph dup-pair recall {recall:.4f} < 0.99"
+    precision = len(our_pairs & truth_same_cluster) / max(len(our_pairs), 1)
+    assert precision >= 0.95, f"oph dup-pair precision {precision:.4f}"
+
+
+def test_staged_verify_matches_exact_clusters(spark):
+    """Staged verify (signature prefilter) must yield the same accepted
+    clusters as the exact path at the same threshold."""
+    t = synthetic_transcripts(spark, n_base=50, dup_factor=2, seed=13)
+    exact = run_dedup(spark, t, DedupConfig(sketch=SKETCH, jaccard_threshold=THETA))
+    staged = run_dedup(
+        spark, t,
+        DedupConfig(sketch=SKETCH, jaccard_threshold=THETA, staged_verify=True),
+    )
+    ce = {r["conv_id"]: r["cluster_id"] for r in exact.clusters.collect()}
+    cs = {r["conv_id"]: r["cluster_id"] for r in staged.clusters.collect()}
+    assert ce == cs
