@@ -172,13 +172,23 @@ def sliding_jaccard(
     minimizer_mode: str = "local",
     name_col: str = "name",
     seq_col: str = "seq",
+    max_length: int | None = None,
 ) -> DataFrame:
     """Per-window report rows for every reference sequence in ``refs``.
 
     References shorter than the query yield no rows (the reference CLI warns
-    and skips them, ``sliding_jaccard.py:261-263``).
+    and skips them, ``sliding_jaccard.py:261-263``).  ``max_length``
+    replicates the undocumented ``--maxlength`` truncation
+    (``sliding_jaccard.py:255-260``): sequences are cut to ``max_length``
+    AFTER the shorter-than-query check, which uses the original length —
+    the reference checks ``seqLen`` captured before truncation.
     """
     assert minimizer_mode in ("local", "global")
+    if max_length is not None:
+        refs = refs.withColumn(
+            "_orig_len", F.length(F.col(seq_col))
+        ).withColumn(seq_col, F.substring(F.col(seq_col), 1, max_length))
+        refs = refs.where(F.col("_orig_len") >= F.lit(len(query_text))).drop("_orig_len")
     q_fp = cfg.fingerprints(query_text)
     B = int(q_fp.shape[0])
     if B <= 0:

@@ -1,0 +1,41 @@
+"""Small config-parsing helpers mirrored from the reference CLIs."""
+
+from __future__ import annotations
+
+from math import ceil
+
+
+def int_with_unit(s: str) -> int:
+    """Parse an integer with an optional K/M/G suffix (powers of 1000).
+
+    Bit-parity with reference ``sliding_jaccard.py:702-716`` /
+    ``jaccard_correction_test.py:999-1013``: uppercase suffix only; plain
+    ``int`` parse first, else ``ceil(float * multiplier)`` (so "2.5M" ->
+    2_500_000 and "0.1K" -> 100).
+    """
+    if s.endswith("K"):
+        multiplier, s = 1000, s[:-1]
+    elif s.endswith("M"):
+        multiplier, s = 1000 * 1000, s[:-1]
+    elif s.endswith("G"):
+        multiplier, s = 1000 * 1000 * 1000, s[:-1]
+    else:
+        multiplier = 1
+    try:
+        return int(s) * multiplier
+    except ValueError:
+        return int(ceil(float(s) * multiplier))
+
+
+def parse_hash_spec(spec: str, default_type: str = "minimap2") -> tuple[str, int]:
+    """Parse the reference's ``--hash=[type.]seed`` CLI form
+    (``sliding_jaccard.py:106-125``): seed is decimal or 0x-hex; the type
+    prefix is optional and dot-separated."""
+    s = spec
+    hash_type = default_type
+    if "." in s:
+        head, tail = s.split(".", 1)
+        if not head.isdigit() and not head.lower().startswith("0x"):
+            hash_type, s = head, tail
+    seed = int(s, 16) if s.lower().startswith("0x") else int(s)
+    return hash_type, seed

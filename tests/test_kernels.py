@@ -309,3 +309,19 @@ def test_simhash_fast_path_matches_shift_matrix():
     for b in np.nonzero(votes > 0)[0]:
         expect |= 1 << int(b)
     assert got == expect
+
+
+def test_int_with_unit_matches_reference():
+    from minimizer_jaccard_estimator_spark.util import int_with_unit
+    cases = {"10": 10, "10K": 10_000, "2.5M": 2_500_000, "1G": 1_000_000_000,
+             "0.1K": 100, "7M": 7_000_000, "0.0001M": 100}
+    for s, want in cases.items():
+        assert int_with_unit(s) == want, s
+
+
+def test_parse_hash_spec():
+    from minimizer_jaccard_estimator_spark.util import parse_hash_spec
+    assert parse_hash_spec("123") == ("minimap2", 123)
+    assert parse_hash_spec("0xBEEF") == ("minimap2", 0xBEEF)
+    assert parse_hash_spec("splitmix64.5") == ("splitmix64", 5)
+    assert parse_hash_spec("murmurhash3.0x10") == ("murmurhash3", 16)

@@ -109,3 +109,23 @@ def test_distribution_bucket_rule(spark):
             for r in jaccard_distribution(df, "j_kmer", 0.01).collect()}
     # floor((v + 0.005)/0.01): 0.004->0, 0.005->1, 0.094->9, 0.096->10
     assert rows == {0: (1, 0.0), 1: (1, 0.01), 9: (1, 0.09), 10: (1, 0.10)}
+
+
+def test_max_length_truncation_semantics(spark):
+    """--maxlength parity: shorter-than-query check uses the ORIGINAL length,
+    truncation applies afterwards (sliding_jaccard.py:255-263)."""
+    from pyspark.sql import Row
+
+    CFG_DNA = SketchConfig(k=4, w=3, hash_type="minimap2", mode="dna", num_perm=1, lsh_bands=1)
+    q = "ACGTACGTAC"  # len 10
+    refs = spark.createDataFrame([
+        Row(name="long", seq="ACGTACGTACGTACGTACGT"),   # len 20 -> truncated to 12
+        Row(name="short", seq="ACGTACG"),               # len 7 < qlen -> dropped
+    ])
+    out = sliding_jaccard(refs, "q", q, CFG_DNA, minimizer_mode="local", max_length=12)
+    rows = out.collect()
+    names = {r["ref_name"] for r in rows}
+    assert names == {"long"}
+    # truncated to 12 bp with B = 10-k+1 query k-mers -> windows limited
+    full = sliding_jaccard(refs.where("name='long'"), "q", q, CFG_DNA, minimizer_mode="local")
+    assert len(rows) < len(full.collect())
