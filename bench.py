@@ -93,6 +93,14 @@ def main() -> None:
         qmap[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.monotonic() - t0, 3)
 
+    # surface the separately-measured N-vs-4N scaling efficiency (see
+    # scripts/scaling_bench.py and BASELINE.md) if results are committed
+    for tag, path in (("dedup", "SCALING_dedup.json"), ("sketch", "SCALING_sketch.json")):
+        p = os.path.join(REPO, path)
+        if os.path.exists(p):
+            with open(p) as fh:
+                extra[f"scaling_{tag}"] = json.load(fh).get("pairs")
+
     total = round(sum(timings.values()), 3)
     print(json.dumps({
         "metric": "headline_suite_wall",

@@ -144,6 +144,82 @@ def start_sketch_stream(
     )
 
 
+def start_dedup_stream(
+    spark: SparkSession,
+    turns: DataFrame,
+    cfg: SketchConfig,
+    sketch_sink: str,
+    pairs_sink: str,
+    checkpoint_path: str,
+    jaccard_threshold: float = 0.5,
+    sep: str = "\n",
+    state_timeout_ms: int | None = None,
+):
+    """Streaming near-dup detection: per micro-batch, refresh sketches for
+    changed conversations, generate LSH candidates of those conversations
+    against the WHOLE corpus seen so far, verify with exact minimizer
+    Jaccard, and append accepted pairs.
+
+    ``latest_accepted_pairs`` + batch connected components give the cluster
+    view at any time.  Note on staleness: a pair accepted in batch b reflects
+    both sides' text as of b; if a conversation keeps growing, its pairs are
+    re-generated on every later update (it re-enters the changed set), so the
+    latest row per (id_a, id_b) converges to the final-text verdict whenever
+    arrivals eventually stop — re-verify at compaction for strict semantics.
+    Scale note: this demo joins new band hashes against bands recomputed from
+    the full sketch sink each batch (simple + correct); a production deploy
+    maintains the band table as its own incrementally-appended sink.
+    """
+    from ..operators.lsh import band_hashes
+    from ..operators.verify import verify_pairs
+
+    assembled = assemble_stream(turns, sep=sep, state_timeout_ms=state_timeout_ms)
+
+    def emit(batch_df: DataFrame, batch_id: int) -> None:
+        fresh = add_full_sketch(batch_df, cfg).drop("text").withColumn(
+            "batch_id", F.lit(batch_id).cast("long")
+        )
+        fresh.write.mode("append").parquet(sketch_sink)
+        corpus = latest_sketches(spark, sketch_sink)
+        new_ids = fresh.select("conv_id")
+        nb = band_hashes(corpus.join(new_ids, "conv_id"), cfg)
+        ab = band_hashes(corpus, cfg)
+        cand = (
+            nb.select("band_id", "band_hash", F.col("conv_id").alias("id_x"))
+            .join(ab.select("band_id", "band_hash", F.col("conv_id").alias("id_y")),
+                  ["band_id", "band_hash"])
+            .where(F.col("id_x") != F.col("id_y"))
+            .select(F.least("id_x", "id_y").alias("id_a"),
+                    F.greatest("id_x", "id_y").alias("id_b"))
+            .distinct()
+        )
+        verified = verify_pairs(cand, corpus.select("conv_id", "minimizers"))
+        accepted = verified.where(F.col("j_mini") >= jaccard_threshold)
+        accepted.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+            "append"
+        ).parquet(pairs_sink)
+
+    return (
+        assembled.writeStream.foreachBatch(emit)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_path)
+        .start()
+    )
+
+
+def latest_accepted_pairs(spark: SparkSession, pairs_sink: str) -> DataFrame:
+    """Latest verdict per (id_a, id_b) from the streaming pairs sink."""
+    import os
+
+    if not os.path.exists(pairs_sink):
+        return spark.createDataFrame([], "id_a string, id_b string, j_mini double")
+    df = spark.read.parquet(pairs_sink)
+    return (
+        df.groupBy("id_a", "id_b")
+        .agg(F.max_by(F.col("j_mini"), F.col("batch_id")).alias("j_mini"))
+    )
+
+
 def latest_sketches(spark: SparkSession, sink_path: str) -> DataFrame:
     """Current sketch per conversation = row with the highest batch_id
     (ties impossible: one emission per conv per batch)."""

@@ -95,3 +95,64 @@ def test_stream_incremental_updates_grow(spark, tmp_path):
     assert len(hist) == 2
     assert hist[0]["n_turns"] == 1 and hist[1]["n_turns"] == 2
     assert hist[1]["n_shingles"] > hist[0]["n_shingles"]
+
+
+def test_streaming_dedup_matches_batch_clusters(spark, tmp_path):
+    """Streamed candidates+verify converge to the batch pipeline's accepted
+    pairs and clusters when conversations arrive whole (no partial growth)."""
+    import pyspark.sql.functions as F
+
+    from minimizer_jaccard_estimator_spark.operators.connected_components import (
+        connected_components,
+    )
+    from minimizer_jaccard_estimator_spark.operators.dedup import DedupConfig, run_dedup
+    from minimizer_jaccard_estimator_spark.streaming.sketch_stream import (
+        latest_accepted_pairs,
+        start_dedup_stream,
+    )
+
+    src = str(tmp_path / "turns_in")
+    sketch_sink = str(tmp_path / "sk")
+    pairs_sink = str(tmp_path / "pairs")
+    ckpt = str(tmp_path / "ckpt")
+
+    turns = synthetic_transcripts(spark, n_base=15, dup_factor=2, seed=21).cache()
+    # arrival in 3 waves of WHOLE conversations (conv index mod 3)
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    for wave in range(3):
+        turns.where(idx % 3 == wave).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = start_dedup_stream(spark, stream, CFG, sketch_sink, pairs_sink, ckpt,
+                           jaccard_threshold=0.5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    stream_pairs = {
+        (r.id_a, r.id_b)
+        for r in latest_accepted_pairs(spark, pairs_sink).where("j_mini >= 0.5").collect()
+    }
+
+    batch = run_dedup(spark, turns, DedupConfig(sketch=CFG, jaccard_threshold=0.5))
+    batch_pairs = {
+        tuple(sorted((r.id_a, r.id_b)))
+        for r in batch.verified.where("j_mini >= 0.5").collect()
+    }
+    # exact equality: streaming regenerates candidates vs the whole corpus
+    # on every update, so every batch-accepted pair (incl. exact dups, which
+    # share all bands) must appear, and verification math is identical
+    assert stream_pairs == batch_pairs
+
+    # cluster equality over every conversation that joined a cluster
+    comp_s = connected_components(
+        latest_accepted_pairs(spark, pairs_sink).where("j_mini >= 0.5")
+    )
+    ours = {r["conv_id"]: r["cluster_id"] for r in comp_s.collect()}
+    theirs = {r["conv_id"]: r["cluster_id"] for r in batch.clusters.collect()}
+    assert ours, "fixture must produce clusters"
+    for cid, root in ours.items():
+        assert theirs[cid] == root, cid
