@@ -367,6 +367,22 @@ def q_sliding_best_window(spark, sf):
     )
 
 
+def q_lang_id(spark, sf):
+    """Language-ID n-gram/stopword-profile heuristic (argmax of marker-word
+    hits per language, deterministic tie-break), aggregated per prediction."""
+    from minimizer_jaccard_estimator_spark.operators.text_analysis import language_id
+
+    d = _t(spark, sf, "documents")
+    per = language_id(d)
+    return (
+        per.groupBy("lang_pred")
+        .agg(F.count("*").alias("n_docs"),
+             F.sum("hits").alias("total_hits"),
+             F.max("n_words").alias("max_words"))
+        .orderBy("lang_pred")
+    )
+
+
 def q_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs: all (i < j) vector pairs with cosine
     >= 0.99 — the brute-force oracle path of similarity dedup (JVM-side
@@ -461,6 +477,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "pairwise_report": q_pairwise_report,
         "sliding_best_window": q_sliding_best_window,
+        "lang_id": q_lang_id,
         "embedding_neardup": q_embedding_neardup,
         "media_digest": q_media_digest,
         "media_neardup": q_media_neardup,
@@ -590,6 +607,35 @@ def oracle_sql() -> dict[str, str]:
                      AS cosine
             FROM e, q WHERE e.vec_id <> 0
             ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+        "lang_id": """
+            WITH w AS (
+              SELECT doc_id,
+                     len(string_split(text, ' ')) AS n_words,
+                     list_distinct(string_split(lower(text), ' ')) AS ws
+              FROM documents
+            ),
+            h AS (
+              SELECT doc_id, n_words,
+                     len(list_intersect(ws, ['der','die','und','das','ist','nicht','ein','mit','zu','den'])) AS h_de,
+                     len(list_intersect(ws, ['the','and','of','to','a','in','is','that','it','for'])) AS h_en,
+                     len(list_intersect(ws, ['el','la','que','los','una','por','con','para','las','es'])) AS h_es,
+                     len(list_intersect(ws, ['le','la','et','les','des','un','une','est','que','pour'])) AS h_fr
+              FROM w
+            ),
+            p AS (
+              SELECT doc_id, n_words,
+                     greatest(h_de, h_en, h_es, h_fr) AS hits,
+                     CASE WHEN greatest(h_de, h_en, h_es, h_fr) = 0 THEN 'und'
+                          WHEN h_de = greatest(h_de, h_en, h_es, h_fr) THEN 'de'
+                          WHEN h_en = greatest(h_de, h_en, h_es, h_fr) THEN 'en'
+                          WHEN h_es = greatest(h_de, h_en, h_es, h_fr) THEN 'es'
+                          ELSE 'fr' END AS lang_pred
+              FROM h
+            )
+            SELECT lang_pred, count(*) AS n_docs, sum(hits) AS total_hits,
+                   max(n_words) AS max_words
+            FROM p GROUP BY lang_pred ORDER BY lang_pred
         """,
         "embedding_neardup": """
             WITH e AS (
