@@ -17,6 +17,10 @@ after the last completed stage.  Per-stage row counts + wall times land in
 from __future__ import annotations
 
 import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import SparkSession
 

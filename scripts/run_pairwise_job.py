@@ -1,0 +1,98 @@
+#!/usr/bin/env python3
+"""Spark equivalent of the reference's ``jaccard_correction_test.py`` CLI.
+
+Scores FASTA sequence pairs: exact Jaccard, replicate-averaged minimizer
+estimate, and (invertible, duplicate-free hash configs) the D/C/Bias
+correction analytics — same numbers as the reference at the same
+k/w/hash/seed/prng config (golden-parity tested in tests/).
+
+  spark-submit --py-files dist/minimizer_jaccard_estimator_spark.zip \
+    scripts/run_pairwise_job.py seqs.fa[.gz] \
+      [--pairs other.fa]        # zip two files positionally (reference 2-file mode)
+      [--k 16] [--window 100] [--hash minimap2.0] \
+      [--replicates 50] [--prng 20210908A] \
+      [--inhibit-correction] [--report-replicates] [--head N] \
+      [--out out_dir] [--format tsv|parquet]
+
+One-file mode pairs consecutive sequences (1,2),(3,4),… like the reference.
+Output goes to --out as TSV (tab-separated, header) or parquet; without
+--out the report prints to stdout.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+# local-run convenience: put the repo root on sys.path (spark-submit users
+# get the package from --py-files instead)
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+from pyspark.sql import SparkSession
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("fasta")
+    ap.add_argument("--pairs", default=None, help="second FASTA for zipped pairing")
+    ap.add_argument("--k", default="16")
+    ap.add_argument("--window", "-w", default="100")
+    ap.add_argument("--hash", dest="hash_spec", default="minimap2.0")
+    ap.add_argument("--replicates", default="1")
+    ap.add_argument("--prng", default="20210908A")
+    ap.add_argument("--inhibit-correction", action="store_true")
+    ap.add_argument("--report-replicates", action="store_true")
+    ap.add_argument("--head", default=None)
+    ap.add_argument("--out", default=None)
+    ap.add_argument("--format", default="tsv", choices=["tsv", "parquet"])
+    args = ap.parse_args()
+
+    from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
+    from minimizer_jaccard_estimator_spark.operators.pairwise_analytics import (
+        pairwise_report,
+        replicate_report,
+    )
+    from minimizer_jaccard_estimator_spark.sources.fasta import (
+        consecutive_pairs,
+        read_fasta,
+        zipped_pairs,
+    )
+    from minimizer_jaccard_estimator_spark.util import int_with_unit, parse_hash_spec
+
+    spark = SparkSession.builder.appName("mje-pairwise").getOrCreate()
+    hash_type, seed = parse_hash_spec(args.hash_spec)
+    cfg = SketchConfig(
+        k=int_with_unit(args.k), w=int_with_unit(args.window),
+        hash_type=hash_type, hash_seed=seed, mode="dna",
+        num_perm=int_with_unit(args.replicates), prng_seed=args.prng,
+        lsh_bands=1,
+    )
+
+    fa = read_fasta(spark, args.fasta)
+    if args.pairs:
+        pairs = zipped_pairs(fa, read_fasta(spark, args.pairs))
+    else:
+        pairs = consecutive_pairs(fa)
+    if args.head:
+        pairs = pairs.orderBy("pair_id").limit(int_with_unit(args.head))
+
+    if args.report_replicates:
+        report = replicate_report(pairs, cfg)
+    else:
+        report = pairwise_report(
+            pairs, cfg, correction="off" if args.inhibit_correction else "auto"
+        )
+
+    if args.out is None:
+        for line in report.toPandas().to_csv(sep="\t", index=False).splitlines():
+            print(line)
+    elif args.format == "tsv":
+        report.write.mode("overwrite").option("sep", "\t").option("header", True).csv(args.out)
+    else:
+        report.write.mode("overwrite").parquet(args.out)
+
+
+if __name__ == "__main__":
+    sys.exit(main())
