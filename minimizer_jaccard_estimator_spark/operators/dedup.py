@@ -22,7 +22,7 @@ from ..functions.sketch import SketchConfig, add_full_sketch
 from ..plans.catalog import StageStore
 from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
-from .lsh import exact_dup_pairs, lsh_candidate_pairs, simhash_filter
+from .lsh import exact_dup_pairs, lsh_candidate_pairs, lsh_dropped_buckets, simhash_filter
 from .substring import duplicate_spans, substring_dup_pairs
 from .verify import attach_pair_columns, verify_pairs, verify_pairs_staged
 
@@ -105,6 +105,15 @@ def run_dedup(
             max_bucket_size=cfg.max_bucket_size,
         )
         candidates = exact.union(lsh).distinct()
+        if store.root is not None and cfg.max_bucket_size is not None:
+            # no silent caps: record exactly which hot buckets were excluded
+            store.materialize(
+                spark, "lsh_dropped_buckets",
+                lsh_dropped_buckets(
+                    sketches.select("conv_id", "minhash"), cfg.sketch,
+                    max_bucket_size=cfg.max_bucket_size,
+                ),
+            )
         if cfg.simhash_max_hamming is not None:
             with_sim = attach_pair_columns(
                 candidates, sketches.select("conv_id", "simhash"), ["simhash"]

@@ -28,6 +28,7 @@ class StageStore:
     format: str = "parquet"
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     _metrics: list[dict] = field(default_factory=list)
+    _partition_rows: list[dict] = field(default_factory=list)
 
     def path(self, stage: str) -> str:
         assert self.root is not None
@@ -65,16 +66,26 @@ class StageStore:
         else:
             skipped = True
         out = self.load(spark, stage)
-        rows = out.count()
+        # per-partition row counts (north_rule: per-partition lineage) — one
+        # extra pass over the just-written stage table, skew made visible
+        parts = self.partition_metrics(out, stage).collect()
+        rows = sum(r["rows"] for r in parts)
         self._metrics.append(
             {
                 "stage": stage,
                 "run_id": self.run_id,
                 "rows_out": rows,
+                "n_partitions": len(parts),
+                "max_partition_rows": max((r["rows"] for r in parts), default=0),
                 "wall_ms": int((time.monotonic() - t0) * 1000),
                 "resumed": skipped,
                 "ts": time.time(),
             }
+        )
+        self._partition_rows.extend(
+            {"stage": stage, "run_id": self.run_id,
+             "partition_id": r["partition_id"], "rows": r["rows"]}
+            for r in parts
         )
         return out
 
@@ -84,6 +95,11 @@ class StageStore:
             return
         df = spark.createDataFrame(self._metrics)
         df.write.mode("append").format(self.format).save(os.path.join(self.root, "_metrics"))
+        if self._partition_rows:
+            pdf = spark.createDataFrame(self._partition_rows)
+            pdf.write.mode("append").format(self.format).save(
+                os.path.join(self.root, "_partition_metrics")
+            )
 
     def metrics(self) -> list[dict]:
         return list(self._metrics)

@@ -241,3 +241,26 @@ def test_staged_verify_matches_exact_clusters(spark):
     ce = {r["conv_id"]: r["cluster_id"] for r in exact.clusters.collect()}
     cs = {r["conv_id"]: r["cluster_id"] for r in staged.clusters.collect()}
     assert ce == cs
+
+
+def test_partition_metrics_and_dropped_buckets(spark, tmp_path):
+    """Checkpointed runs write per-partition lineage and the dropped-bucket
+    table (no silent caps)."""
+    t = synthetic_transcripts(spark, n_base=30, dup_factor=2, seed=3)
+    store = StageStore(root=str(tmp_path / "run"))
+    run_dedup(spark, t, DedupConfig(sketch=SKETCH, max_bucket_size=2), store=store)
+
+    pm = spark.read.parquet(str(tmp_path / "run" / "_partition_metrics"))
+    assert {"stage", "partition_id", "rows", "run_id"} <= set(pm.columns)
+    stages = {r["stage"] for r in pm.select("stage").distinct().collect()}
+    assert {"conv_text", "sketches", "candidates"} <= stages
+    # per-partition rows sum to the per-stage rows_out
+    m = spark.read.parquet(str(tmp_path / "run" / "_metrics"))
+    for row in m.collect():
+        psum = pm.where(F.col("stage") == row["stage"]).agg(F.sum("rows")).collect()[0][0]
+        assert (psum or 0) == row["rows_out"], row["stage"]
+
+    # cap=2 with 30 exact-dup pairs => hot buckets must be recorded
+    dropped = spark.read.parquet(str(tmp_path / "run" / "lsh_dropped_buckets"))
+    assert dropped.count() > 0
+    assert dropped.agg(F.min("n_docs")).collect()[0][0] > 2
