@@ -57,7 +57,8 @@ def main() -> None:
     extra: dict[str, object] = {"cpus": cpus}
 
     # --- headline: dedup over synthetic transcripts sized by sf ------------
-    n_base = max(200, int(40_000 * sf))
+    # big enough that throughput is marginal (per-turn), not fixed-cost bound
+    n_base = max(200, int(120_000 * sf))
     t0 = time.monotonic()
     transcripts = synthetic_transcripts(
         spark, n_base=n_base, dup_factor=2, seed=42,
