@@ -185,7 +185,10 @@ def full_sketch_udf(cfg: SketchConfig):
                     # dna sentinel semantics live in hash_dna_sequence
                     h = cfg.hash_sequence(t or "")
                 elif fp.size:
-                    h = K.apply_hash(cfg.hash_type, cfg.hash_seed, fp, cfg.k)
+                    # text mode hashes in the full 64-bit domain (mask k=32),
+                    # matching hash_text_shingles — NOT cfg.k, which would
+                    # shrink the minimap2 mask and break parity
+                    h = K.apply_hash(cfg.hash_type, cfg.hash_seed, fp, 32)
                 else:
                     h = fp
                 v, p = K.winnow_minimizers(h, cfg.w)

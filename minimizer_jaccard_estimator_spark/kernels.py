@@ -524,6 +524,9 @@ def oph_signature(
     fp = np.unique(np.asarray(fingerprints, dtype=np.uint64))
     h = apply_hash(hash_type, seed, fp, 32)
     bits = num_perm.bit_length() - 1
+    if bits == 0:
+        # num_perm=1: shift-by-64 is C UB; the single slot takes the min
+        return np.array([h.min()], dtype=np.uint64)
     slots = (h >> U64(64 - bits)).astype(np.int64)
     np.minimum.at(out, slots, h)
     empty = out == U64(empty_fill)

@@ -22,7 +22,7 @@ from ..functions.sketch import SketchConfig, add_full_sketch
 from ..plans.catalog import StageStore
 from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
-from .lsh import exact_dup_pairs, lsh_candidate_pairs, lsh_dropped_buckets, simhash_filter
+from .lsh import exact_dup_pairs, lsh_candidate_pairs, simhash_filter
 from .substring import duplicate_spans, substring_dup_pairs
 from .verify import attach_pair_columns, verify_pairs, verify_pairs_staged
 
@@ -100,20 +100,18 @@ def run_dedup(
         candidates = store.load(spark, "candidates")
     else:
         exact = exact_dup_pairs(conv_text)
+        want_dropped = store.root is not None and cfg.max_bucket_size is not None
         lsh = lsh_candidate_pairs(
             sketches.select("conv_id", "minhash"), cfg.sketch,
             max_bucket_size=cfg.max_bucket_size,
+            with_dropped=want_dropped,
         )
-        candidates = exact.union(lsh).distinct()
-        if store.root is not None and cfg.max_bucket_size is not None:
+        if want_dropped:
             # no silent caps: record exactly which hot buckets were excluded
-            store.materialize(
-                spark, "lsh_dropped_buckets",
-                lsh_dropped_buckets(
-                    sketches.select("conv_id", "minhash"), cfg.sketch,
-                    max_bucket_size=cfg.max_bucket_size,
-                ),
-            )
+            # (derived from the same persisted bucket-size aggregate)
+            lsh, dropped = lsh
+            store.materialize(spark, "lsh_dropped_buckets", dropped)
+        candidates = exact.union(lsh).distinct()
         if cfg.simhash_max_hamming is not None:
             with_sim = attach_pair_columns(
                 candidates, sketches.select("conv_id", "simhash"), ["simhash"]
@@ -128,7 +126,7 @@ def run_dedup(
         if cfg.staged_verify:
             verified = verify_pairs_staged(
                 candidates,
-                sketches.select("conv_id", "minimizers", "minhash"),
+                sketches.select("conv_id", "minimizers", "minhash", "n_shingles"),
                 cfg.jaccard_threshold,
                 cfg.staged_verify_margin,
             )

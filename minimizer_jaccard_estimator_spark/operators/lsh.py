@@ -41,14 +41,29 @@ def lsh_candidate_pairs(
     cfg: SketchConfig,
     id_col: str = "conv_id",
     max_bucket_size: int | None = 1000,
-) -> DataFrame:
-    """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket."""
+    with_dropped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
+
+    ``with_dropped=True`` additionally returns the (band_id, band_hash,
+    n_docs) buckets the cap excluded, derived from the SAME bucket-size
+    aggregate (persisted, one pass — no silent caps, no recompute)."""
     b = band_hashes(signatures, cfg, id_col)
+    dropped = None
     if max_bucket_size is not None:
         sizes = b.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+        if with_dropped:
+            sizes = sizes.persist()
+            dropped = sizes.where(F.col("_n") > max_bucket_size).select(
+                "band_id", "band_hash", F.col("_n").alias("n_docs")
+            )
         b = (
             b.join(sizes.where(F.col("_n") <= max_bucket_size).drop("_n").hint("shuffle_hash"),
                    ["band_id", "band_hash"])
+        )
+    elif with_dropped:
+        dropped = signatures.sparkSession.createDataFrame(
+            [], "band_id int, band_hash long, n_docs long"
         )
     left = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"))
     right = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"))
@@ -58,6 +73,8 @@ def lsh_candidate_pairs(
         .select("id_a", "id_b")
         .distinct()
     )
+    if with_dropped:
+        return pairs, dropped
     return pairs
 
 

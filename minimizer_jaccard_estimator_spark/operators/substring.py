@@ -182,10 +182,13 @@ def duplicate_spans(
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     anchors = anchor_table(base, min_len, hash_type, seed, id_col="id")
     pairs = substring_candidate_pairs(anchors, max_bucket_size)
+    # byte lengths (octet_length), matching the byte-offset span coordinates
+    # and byte coverage from the suffix-array kernel — char lengths would
+    # overstate coverage fractions on multi-byte text
     ta = base.select(F.col("id").alias("id_a"), F.col("text").alias("_text_a"),
-                     F.length("text").alias("len_a"))
+                     F.octet_length("text").cast("long").alias("len_a"))
     tb = base.select(F.col("id").alias("id_b"), F.col("text").alias("_text_b"),
-                     F.length("text").alias("len_b"))
+                     F.octet_length("text").cast("long").alias("len_b"))
     joined = pairs.join(ta, "id_a").join(tb, "id_b")
     st = _span_udf(min_len, max_spans_per_pair)(F.col("_text_a"), F.col("_text_b")).alias("_st")
     return (

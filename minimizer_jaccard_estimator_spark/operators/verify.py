@@ -53,12 +53,33 @@ def verify_pairs_staged(
     id_col: str = "conv_id",
     set_col: str = "minimizers",
     sig_col: str = "minhash",
+    size_col: str = "n_shingles",
+    small_doc_bypass: int = 1024,
 ) -> DataFrame:
     """Two-stage verify: signature-estimate filter, then exact minimizer
     Jaccard on the survivors.  Output schema == verify_pairs (survivors
-    only); final accept decisions remain exact."""
+    only); final accept decisions remain exact.
+
+    The sigma bound on j_sig assumes (near-)independent signature slots;
+    densified-OPH slots are correlated when a document has few distinct
+    fingerprints (measured std ~2x the binomial bound at ~20 fingerprints).
+    Pairs where either side has fewer than ``small_doc_bypass`` shingles
+    therefore skip the prefilter and go straight to exact verification —
+    they are exactly the pairs where the prefilter saves nothing anyway.
+    Set ``small_doc_bypass=0`` to disable (safe for the seeded scheme).
+    """
     est = signature_estimate(candidates, sketches.select(id_col, sig_col), id_col, sig_col)
-    plausible = est.where(F.col("j_sig") >= F.lit(max(0.0, threshold - margin)))
+    keep = F.col("j_sig") >= F.lit(max(0.0, threshold - margin))
+    if small_doc_bypass and size_col in sketches.columns:
+        sizes = attach_pair_columns(
+            candidates, sketches.select(id_col, size_col), [size_col], id_col
+        ).select("id_a", "id_b", f"{size_col}_a", f"{size_col}_b")
+        est = est.join(sizes, ["id_a", "id_b"])
+        keep = keep | (
+            F.least(F.col(f"{size_col}_a"), F.col(f"{size_col}_b"))
+            < F.lit(small_doc_bypass)
+        )
+    plausible = est.where(keep)
     return verify_pairs(
         plausible.select("id_a", "id_b"), sketches.select(id_col, set_col), id_col, set_col
     )

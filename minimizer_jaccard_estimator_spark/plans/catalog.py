@@ -34,11 +34,35 @@ class StageStore:
         assert self.root is not None
         return os.path.join(self.root, stage)
 
-    def exists(self, stage: str) -> bool:
+    def exists(self, stage: str, spark: SparkSession | None = None) -> bool:
         if self.root is None:
             return False
-        p = self.path(stage)
-        return os.path.exists(os.path.join(p, "_SUCCESS"))
+        p = os.path.join(self.path(stage), "_SUCCESS")
+        if "://" in self.root:
+            # remote roots (hdfs://, s3a://, …) need the Hadoop FS API —
+            # os.path would silently report missing and disable resume
+            if spark is None:
+                spark = SparkSession.getActiveSession()
+            assert spark is not None, "remote StageStore roots need an active SparkSession"
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            return bool(fs.exists(jpath))
+        return os.path.exists(p)
+
+    def remove_all(self, spark: SparkSession) -> None:
+        """Delete the whole stage-store root (fresh-run cleanup), working for
+        both local paths and Hadoop FS URIs."""
+        if self.root is None:
+            return
+        if "://" in self.root:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(self.root)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+        elif os.path.exists(self.root):
+            import shutil
+
+            shutil.rmtree(self.root)
 
     def load(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.format(self.format).load(self.path(stage))

@@ -65,18 +65,27 @@ def _assemble_func(sep: str, timeout_ms: int | None):
         idxs, texts = list(idxs), list(texts)
         for pdf in pdfs:
             idxs.extend(int(i) for i in pdf["turn_idx"])
-            texts.extend("" if t is None else str(t) for t in pdf["text"])
+            # preserve nulls: batch concat_ws SKIPS null turn texts (they
+            # still count toward n_turns) — replacing with "" would keep a
+            # spurious separator and break the streaming==batch contract
+            texts.extend(None if t is None else str(t) for t in pdf["text"])
         state.update((idxs, texts))
         if timeout_ms is not None:
             state.setTimeoutDuration(timeout_ms)
-        order = sorted(range(len(idxs)), key=lambda i: (idxs[i], texts[i]))
-        joined = sep.join(texts[i] for i in order)
+        # batch order is array_sort on struct(turn_idx, text): ties on
+        # turn_idx compare text with SQL null-first semantics
+        order = sorted(
+            range(len(idxs)),
+            key=lambda i: (idxs[i], texts[i] is not None, texts[i] or ""),
+        )
+        joined = sep.join(texts[i] for i in order if texts[i] is not None)
         yield pd.DataFrame(
             {
                 "conv_id": [key[0]],
                 "n_turns": [len(idxs)],
                 "text": [joined],
-                "text_len": [len(joined.encode("utf-8"))],
+                # char length, matching the batch path's F.length(text)
+                "text_len": [len(joined)],
             }
         )
 

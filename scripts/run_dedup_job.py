@@ -67,10 +67,8 @@ def main() -> None:
     )
     store = StageStore(root=args.output)
     if not args.resume:
-        # fresh run: ignore stale stage tables by clearing the success markers
-        import shutil, os
-        if os.path.exists(args.output):
-            shutil.rmtree(args.output)
+        # fresh run: drop stale stage tables (local path or hdfs/s3a URI)
+        store.remove_all(spark)
 
     res = run_dedup(spark, transcripts, cfg, store=store)
     n = res.clusters.count()

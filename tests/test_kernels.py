@@ -325,3 +325,11 @@ def test_parse_hash_spec():
     assert parse_hash_spec("0xBEEF") == ("minimap2", 0xBEEF)
     assert parse_hash_spec("splitmix64.5") == ("splitmix64", 5)
     assert parse_hash_spec("murmurhash3.0x10") == ("murmurhash3", 16)
+
+
+def test_oph_num_perm_one():
+    rng = np.random.default_rng(2)
+    fp = rng.integers(0, 1 << 63, size=100, dtype=np.uint64)
+    out = K.oph_signature(fp, 1)
+    h = K.apply_hash("splitmix64", 0, np.unique(fp), 32)
+    assert out.shape == (1,) and out[0] == h.min()

@@ -189,21 +189,24 @@ def test_full_sketch_udf_equals_composed(spark):
         add_sketch,
     )
 
-    cfg = SketchConfig(k=6, w=5, num_perm=16, lsh_bands=8)
     docs = spark.createDataFrame(
         [(str(i), f"token{i} alpha beta gamma delta {'x' * (i % 7)} end") for i in range(25)],
         ["conv_id", "text"],
     )
-    full = {r["conv_id"]: r for r in add_full_sketch(docs, cfg).collect()}
-    composed = {
-        r["conv_id"]: r
-        for r in add_signature(add_sketch(docs, cfg), cfg).collect()
-    }
-    assert full.keys() == composed.keys()
-    for cid, fr in full.items():
-        cr = composed[cid]
-        for col in ("minimizers", "positions", "n_shingles", "n_dups", "minhash", "simhash"):
-            assert fr[col] == cr[col], (cid, col)
+    # minimap2 is the regression case: text mode must hash with the full
+    # 64-bit mask (k=32), not cfg.k
+    for ht in ("splitmix64", "minimap2", "murmurhash3"):
+        cfg = SketchConfig(k=6, w=5, num_perm=16, lsh_bands=8, hash_type=ht)
+        full = {r["conv_id"]: r for r in add_full_sketch(docs, cfg).collect()}
+        composed = {
+            r["conv_id"]: r
+            for r in add_signature(add_sketch(docs, cfg), cfg).collect()
+        }
+        assert full.keys() == composed.keys()
+        for cid, fr in full.items():
+            cr = composed[cid]
+            for col in ("minimizers", "positions", "n_shingles", "n_dups", "minhash", "simhash"):
+                assert fr[col] == cr[col], (ht, cid, col)
 
 
 def test_dedup_recall_with_oph_candidates(spark):

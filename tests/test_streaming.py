@@ -156,3 +156,42 @@ def test_streaming_dedup_matches_batch_clusters(spark, tmp_path):
     assert ours, "fixture must produce clusters"
     for cid, root in ours.items():
         assert theirs[cid] == root, cid
+
+
+def test_stream_matches_batch_nulls_and_unicode(spark, tmp_path):
+    """Regression: null turn texts and multi-byte chars must assemble
+    identically in streaming and batch (separator skipping, char lengths)."""
+    from minimizer_jaccard_estimator_spark.streaming.sketch_stream import (
+        latest_sketches,
+        start_sketch_stream,
+    )
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+    rows = [
+        ("c1", 0, "user", "héllo wörld", None, None),
+        ("c1", 1, "assistant", None, None, None),
+        ("c1", 2, "user", "🌍 emoji tail", None, None),
+        ("c2", 0, "user", None, None, None),
+    ]
+    turns = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    turns.coalesce(1).write.parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q = start_sketch_stream(spark, stream, CFG, sink, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r["conv_id"]: r for r in latest_sketches(spark, sink).collect()}
+    want = {
+        r["conv_id"]: r
+        for r in add_full_sketch(assemble_conversations(turns), CFG).drop("text").collect()
+    }
+    assert got.keys() == want.keys()
+    for cid, wr in want.items():
+        gr = got[cid]
+        for col in ("n_turns", "text_len", "minimizers", "n_shingles", "minhash", "simhash"):
+            assert gr[col] == wr[col], (cid, col)

@@ -210,3 +210,28 @@ def test_anchor_guarantee_property():
         va, _ = K.winnow_minimizers(K.hash_text_shingles(a, k), w)
         vb, _ = K.winnow_minimizers(K.hash_text_shingles(b, k), w)
         assert set(va.tolist()) & set(vb.tolist())
+
+
+def test_duplicate_spans_unicode_byte_units(spark):
+    """len/cov columns are both byte units: a CJK doc fully contained in
+    another must give coverage fraction exactly 1.0, never > 1."""
+    from pyspark.sql import Row
+
+    from minimizer_jaccard_estimator_spark.operators.substring import (
+        duplicate_spans,
+        substring_dup_pairs,
+    )
+
+    inner = "深圳市南山区科技园片区软件产业基地" * 4  # 3-byte chars
+    docs = spark.createDataFrame([
+        Row(conv_id="0", text="PREFIX " + inner + " SUFFIX"),
+        Row(conv_id="1", text=inner),
+    ])
+    rows = duplicate_spans(docs, min_len=24).collect()
+    assert rows
+    for r in rows:
+        assert r.len_b == len(inner.encode("utf-8"))
+        assert r.cov_b <= r.len_b
+        assert r.cov_b / r.len_b == 1.0
+    pairs = substring_dup_pairs(duplicate_spans(docs, min_len=24), 0.99).collect()
+    assert {(p.id_a, p.id_b) for p in pairs} == {("0", "1")}
