@@ -267,3 +267,15 @@ def test_partition_metrics_and_dropped_buckets(spark, tmp_path):
     dropped = spark.read.parquet(str(tmp_path / "run" / "lsh_dropped_buckets"))
     assert dropped.count() > 0
     assert dropped.agg(F.min("n_docs")).collect()[0][0] > 2
+
+
+def test_salted_repartition_same_clusters(spark):
+    """Explicit salted repartition of the turn input (hot-conv_id spreading)
+    must not change results — clusters identical with and without."""
+    t = synthetic_transcripts(spark, n_base=40, dup_factor=2, seed=17,
+                              skew_fraction=0.2)
+    base = run_dedup(spark, t, DedupConfig(sketch=SKETCH))
+    salted = run_dedup(spark, t, DedupConfig(sketch=SKETCH, salt_partitions=16))
+    a = {r["conv_id"]: r["cluster_id"] for r in base.clusters.collect()}
+    b = {r["conv_id"]: r["cluster_id"] for r in salted.clusters.collect()}
+    assert a == b

@@ -195,3 +195,44 @@ def test_stream_matches_batch_nulls_and_unicode(spark, tmp_path):
         gr = got[cid]
         for col in ("n_turns", "text_len", "minimizers", "n_shingles", "minhash", "simhash"):
             assert gr[col] == wr[col], (cid, col)
+
+
+def test_stream_restart_from_checkpoint(spark, tmp_path):
+    """Stop the stream mid-corpus and restart from the same checkpoint: state
+    recovers and the final result still equals the batch pipeline."""
+    from minimizer_jaccard_estimator_spark.streaming.sketch_stream import (
+        latest_sketches,
+        start_sketch_stream,
+    )
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ck")
+
+    turns = synthetic_transcripts(spark, n_base=10, dup_factor=1, seed=11).cache()
+    wave1 = turns.where(turns.turn_idx % 2 == 0)
+    wave2 = turns.where(turns.turn_idx % 2 == 1)
+
+    wave1.coalesce(1).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q1 = start_sketch_stream(spark, stream, CFG, sink, ckpt)
+    q1.processAllAvailable()
+    q1.stop()  # simulate a crash/planned restart between arrival waves
+
+    wave2.coalesce(1).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(TRANSCRIPT_SCHEMA).parquet(src)
+    q2 = start_sketch_stream(spark, stream2, CFG, sink, ckpt)
+    try:
+        q2.processAllAvailable()
+    finally:
+        q2.stop()
+
+    got = {r["conv_id"]: r for r in latest_sketches(spark, sink).collect()}
+    want = {
+        r["conv_id"]: r
+        for r in add_full_sketch(assemble_conversations(turns), CFG).drop("text").collect()
+    }
+    assert got.keys() == want.keys()
+    for cid, wr in want.items():
+        for col in ("n_turns", "text_len", "minimizers", "minhash", "simhash"):
+            assert got[cid][col] == wr[col], (cid, col)
