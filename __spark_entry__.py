@@ -367,6 +367,20 @@ def q_sliding_best_window(spark, sf):
     )
 
 
+def q_ann_ivf_topk(spark, sf):
+    """IVF ANN at full probe == exact brute force (same DuckDB oracle as
+    ann_cosine_topk); partial-probe recall is covered by tests/test_ann.py."""
+    from minimizer_jaccard_estimator_spark.operators.ann import build_ivf, ivf_topk
+
+    emb = _t(spark, sf, "embeddings")
+    query = [float(x) for x in emb.where("vec_id = 0").head()["embedding"]]
+    corpus = emb.where("vec_id <> 0")
+    n_cells = 8
+    idx = build_ivf(corpus, n_cells=n_cells, seed=42)
+    out = ivf_topk(idx, query, k=10, nprobe=n_cells)
+    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+
+
 def q_lang_id(spark, sf):
     """Language-ID n-gram/stopword-profile heuristic (argmax of marker-word
     hits per language, deterministic tie-break), aggregated per prediction."""
@@ -477,6 +491,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_hamming": q_simhash_hamming,
         "pairwise_report": q_pairwise_report,
         "sliding_best_window": q_sliding_best_window,
+        "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "embedding_neardup": q_embedding_neardup,
         "media_digest": q_media_digest,
@@ -599,6 +614,16 @@ def oracle_sql() -> dict[str, str]:
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
         """,
         "ann_cosine_topk": """
+            WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+            q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+            SELECT e.vec_id,
+                   round(list_dot_product(e.v, q.qv) /
+                         (sqrt(list_dot_product(e.v, e.v)) * sqrt(list_dot_product(q.qv, q.qv))), 4)
+                     AS cosine
+            FROM e, q WHERE e.vec_id <> 0
+            ORDER BY cosine DESC, e.vec_id ASC LIMIT 10
+        """,
+        "ann_ivf_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
             q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
             SELECT e.vec_id,
