@@ -226,6 +226,8 @@ def jaccard_correction(hash_a: np.ndarray, hash_b: np.ndarray, w: int) -> Correc
     a_to_b = position_map(a, b)  # raises DuplicateHashError like the reference
     counts = configuration_counts(a, b, w, a_to_b=a_to_b)
     L = a.shape[0]
+    if L == 0:
+        raise ValueError("jaccard_correction needs a non-empty hash sequence (L > 0)")
 
     keys = np.array(sorted(counts.keys()), dtype=np.int64).reshape(-1, 5)
     vals = np.array([counts[tuple(k)] for k in keys.tolist()], dtype=np.int64)

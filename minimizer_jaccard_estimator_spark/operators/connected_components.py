@@ -65,12 +65,21 @@ def connected_components(
     ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
 
     prev_sig = None
+    converged = False
     for _ in range(max_iterations):
         edges = _small_star(_large_star(edges)).localCheckpoint()
         sig = _signature(edges)
         if sig == prev_sig:
+            converged = True
             break
         prev_sig = sig
+    if not converged:
+        # returning would silently mislabel components (the node->min
+        # assumption below only holds at the fixpoint)
+        raise RuntimeError(
+            f"connected_components did not converge within {max_iterations} "
+            "iterations; raise max_iterations (expected O(log^2 n))"
+        )
 
     # after convergence every edge points node -> component min
     members = edges.select(F.col("src").alias("conv_id"), F.col("dst").alias("cluster_id"))

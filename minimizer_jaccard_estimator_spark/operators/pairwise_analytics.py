@@ -82,6 +82,14 @@ def _score_pair(name_a: str, text_a: str, name_b: str, text_b: str,
     j_avg = float(j_r.mean())
 
     script_d = jaccard_from_d = script_c = bias = corr_error = None
+    # the manuscript formulas assume |a| == |b| == L (reference asserts it,
+    # ``jaccard_correction_test.py:297-300``) and need a non-empty hash
+    # sequence; otherwise correction columns stay NULL instead of emitting
+    # confidently wrong math (or dividing by zero at L=0)
+    if compute_correction and fp_a.shape[0] != fp_b.shape[0]:
+        compute_correction = False
+    if compute_correction and (fp_a.shape[0] == 0 or fp_b.shape[0] == 0):
+        compute_correction = False
     if compute_correction:
         # correction uses replicate 0 only — identical for every replicate of
         # an invertible hash (reference ``jaccard_correction_test.py:349-353``)
@@ -152,6 +160,8 @@ def replicate_report(pairs: DataFrame, cfg: SketchConfig) -> DataFrame:
         ]
     )
 
+    seeds_i64 = K.u64_to_i64(np.asarray(seeds, dtype=np.uint64))
+
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             out = []
@@ -161,7 +171,6 @@ def replicate_report(pairs: DataFrame, cfg: SketchConfig) -> DataFrame:
                 i_r, u_r, j_r = P.jaccard_minimizers_replicates(
                     fp_a, fp_b, seeds, cfg.hash_type, mask_k, cfg.w
                 )
-                seeds_i64 = K.u64_to_i64(np.asarray(seeds, dtype=np.uint64))
                 for rep in range(len(seeds)):
                     out.append((r.name_a, r.name_b, rep + 1, int(seeds_i64[rep]),
                                 int(i_r[rep]), int(u_r[rep]), float(j_r[rep])))

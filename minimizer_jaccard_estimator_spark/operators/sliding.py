@@ -184,17 +184,33 @@ def sliding_jaccard(
     the reference checks ``seqLen`` captured before truncation.
     """
     assert minimizer_mode in ("local", "global")
+    import dataclasses
+
+    # reference CLI semantics for non-ACGT input (sliding_jaccard.py:265-267,
+    # 609-611): warn-and-continue, substituting the sentinel in the HASH path
+    # only.  The true-kmer profile counts kmer STRINGS (:551-566), so the
+    # exact-Jaccard fingerprints must keep distinct non-ACGT kmers distinct —
+    # byte-shingle fingerprints give that string identity; 2-bit packing
+    # would collapse every bad kmer into one sentinel value.
+    if cfg.mode == "dna":
+        hash_cfg = dataclasses.replace(cfg, on_invalid="sentinel")
+        profile_fp = lambda t: K.shingle_fingerprints(t, cfg.k)  # noqa: E731
+        if cfg.canonical:
+            profile_fp = cfg.fingerprints  # canonical mode requires ACGT
+    else:
+        hash_cfg = cfg
+        profile_fp = cfg.fingerprints
     if max_length is not None:
         refs = refs.withColumn(
             "_orig_len", F.length(F.col(seq_col))
         ).withColumn(seq_col, F.substring(F.col(seq_col), 1, max_length))
         refs = refs.where(F.col("_orig_len") >= F.lit(len(query_text))).drop("_orig_len")
-    q_fp = cfg.fingerprints(query_text)
+    q_fp = profile_fp(query_text)
     B = int(q_fp.shape[0])
     if B <= 0:
         raise ValueError("query has no k-mers at this k")
     q_fp_set = np.unique(q_fp)
-    q_hash = cfg.hash_sequence(query_text)
+    q_hash = hash_cfg.hash_sequence(query_text)
     q_mini_set = np.unique(K.winnow_minimizers(q_hash, cfg.w)[0])
     q_len = len(query_text)
     k, w = cfg.k, cfg.w
@@ -204,8 +220,8 @@ def sliding_jaccard(
             frames = []
             for r in pdf.itertuples(index=False):
                 name, seq = getattr(r, name_col), getattr(r, seq_col) or ""
-                fp_r = cfg.fingerprints(seq)
-                hash_r = cfg.hash_sequence(seq)
+                fp_r = profile_fp(seq)
+                hash_r = hash_cfg.hash_sequence(seq)
                 i_k, u_k, j_k, i_m, u_m, j_m = sliding_jaccard_kernel(
                     fp_r, hash_r, q_fp_set, q_mini_set, B, w, minimizer_mode
                 )
@@ -231,16 +247,23 @@ def sliding_jaccard(
 
 
 def jaccard_distribution(
-    details: DataFrame, value_col: str, bucket_size: float = 0.01
+    details: DataFrame, value_col: str, bucket_size: float = 0.01,
+    group_cols: tuple[str, ...] = ("ref_name",),
 ) -> DataFrame:
     """Histogram of a sliding-report column with the reference bucket rule
     ``floor((v + Δ/2)/Δ)``, center = bucket·Δ (``sliding_jaccard.py:683-687``)
-    — the ``--distribution:<value>`` sinks (S6/A5)."""
+    — the ``--distribution:<value>`` sinks (S6/A5).
+
+    One distribution PER REFERENCE sequence, like the reference sink (it is
+    invoked once per reference and stamps rName/rLen on every row,
+    ``sliding_jaccard.py:650-674``); pass ``group_cols=()`` for a merged
+    corpus-wide histogram."""
     b = F.floor((F.col(value_col) + F.lit(bucket_size / 2)) / F.lit(bucket_size)).cast("long")
+    keys = [F.col(c) for c in group_cols]
     return (
-        details.select(b.alias("bucket"))
-        .groupBy("bucket")
+        details.select(*keys, b.alias("bucket"))
+        .groupBy(*group_cols, "bucket")
         .agg(F.count("*").alias("cnt"))
         .withColumn("center", (F.col("bucket") * F.lit(bucket_size)).cast("double"))
-        .orderBy("bucket")
+        .orderBy(*group_cols, "bucket")
     )

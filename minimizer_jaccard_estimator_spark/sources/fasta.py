@@ -4,15 +4,18 @@ The reference streams ``(name, seq)`` pairs from multi-line FASTA files
 (``fasta_sequences``, ``jaccard_correction_test.py:900-915`` /
 ``sliding_jaccard.py:630-645``) with gzip-transparent open
 (``jaccard_correction_test.py:225-228``).  Spark-first equivalent: one
-``spark.read.text`` scan with ``lineSep='>'`` — each FASTA record becomes one
-row, split JVM-side into header + concatenated body lines; gzip handled by
-Spark's codec layer.  No Python in the parse path.
+``spark.read.text`` scan (line per row); only LINE-INITIAL ``>`` starts a
+record (a ``>`` inside a header description does not split, matching the
+reference's ``startswith('>')`` test), every line is fully stripped (CRLF
+and stray whitespace included, like the reference's ``line.strip()``), and a
+cumulative header count groups body lines under their record.  Gzip is
+handled by Spark's codec layer; no Python in the parse path.
 
-Record order: sequence index is assigned by ``monotonically_increasing_id``
-ordering, which follows (partition, offset-within-partition).  Text files are
-not splittable on a custom lineSep (and ``.gz`` never is), so a single FASTA
-file is one partition and the index reproduces the reference's file order
-exactly; across many input files the order is per-file.
+Record order: line ids come from ``monotonically_increasing_id`` which
+follows (partition, offset).  ``.gz`` inputs are unsplittable (one partition
+per file) so the index reproduces the reference's file order exactly.  The
+single global window is fine at parity-fixture scale; FASTA is not the
+100TB-domain input.
 """
 
 from __future__ import annotations
@@ -26,20 +29,37 @@ def read_fasta(spark: SparkSession, path: str) -> DataFrame:
 
     Bodies are uppercased like every reference read site
     (``jaccard_correction_test.py:865-877``, ``sliding_jaccard.py:254``).
+    Junk lines before the first header are dropped (the reference asserts
+    instead — ``fasta_sequences`` requires header-first).
     """
-    raw = spark.read.text(path, lineSep=">")
-    recs = raw.where(F.length(F.trim("value")) > 0).select(
-        F.monotonically_increasing_id().alias("_mid"),
-        F.split(F.col("value"), "\n").alias("_lines"),
+    raw = spark.read.text(path).select(
+        F.monotonically_increasing_id().alias("_rid"),
+        F.regexp_replace("value", r"^\s+|\s+$", "").alias("_line"),
     )
-    name = F.trim(F.element_at("_lines", 1))
-    body = F.expr("upper(concat_ws('', slice(_lines, 2, greatest(size(_lines) - 1, 0))))")
-    ordered = recs.select(
-        F.row_number().over(Window.orderBy("_mid")).alias("_rn"),
-        name.alias("name"),
-        body.alias("seq"),
+    w = Window.orderBy("_rid")
+    is_header = F.col("_line").startswith(">")
+    lines = raw.select(
+        "_rid", "_line", is_header.alias("_hdr"),
+        (F.sum(is_header.cast("long")).over(w) - 1).alias("seq_idx"),
+    ).where(F.col("seq_idx") >= 0)
+    recs = lines.groupBy("seq_idx").agg(
+        # the header is always the group's first line (min _rid)
+        F.trim(F.substring(F.min_by(F.col("_line"), F.col("_rid")), 2, 1 << 30)).alias("name"),
+        F.upper(
+            F.concat_ws(
+                "",
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.when(~F.col("_hdr"), F.struct("_rid", "_line"))
+                        )
+                    ),
+                    lambda s: s["_line"],
+                ),
+            )
+        ).alias("seq"),
     )
-    return ordered.select((F.col("_rn") - 1).cast("long").alias("seq_idx"), "name", "seq")
+    return recs.select(F.col("seq_idx").cast("long"), "name", "seq").orderBy("seq_idx")
 
 
 def consecutive_pairs(fasta: DataFrame) -> DataFrame:

@@ -279,3 +279,56 @@ def test_salted_repartition_same_clusters(spark):
     a = {r["conv_id"]: r["cluster_id"] for r in base.clusters.collect()}
     b = {r["conv_id"]: r["cluster_id"] for r in salted.clusters.collect()}
     assert a == b
+
+
+def test_read_fasta_crlf_and_gt_in_header(spark, tmp_path):
+    """CRLF endings are stripped and '>' only starts records at line start."""
+    from minimizer_jaccard_estimator_spark.sources.fasta import read_fasta
+
+    p = tmp_path / "odd.fa"
+    p.write_bytes(
+        b">seq1 coverage>30\r\n"
+        b"acgt\r\n"
+        b"ACGT \r\n"
+        b">seq2\n"
+        b"TTTT\n"
+    )
+    rows = read_fasta(spark, str(p)).orderBy("seq_idx").collect()
+    assert [(r.seq_idx, r.name, r.seq) for r in rows] == [
+        (0, "seq1 coverage>30", "ACGTACGT"),
+        (1, "seq2", "TTTT"),
+    ]
+
+
+def test_pairwise_report_degenerate_pairs(spark):
+    """Empty/short/unequal-length pairs: no crash, correction columns NULL
+    (reference refuses correction for unequal lengths, asserts :297-300)."""
+    from minimizer_jaccard_estimator_spark.operators.pairwise_analytics import pairwise_report
+
+    cfg = SketchConfig(k=4, w=3, hash_type="splitmix64", mode="dna",
+                       num_perm=2, lsh_bands=1)
+    pairs = spark.createDataFrame(
+        [
+            ("e", "", "f", "ACGTACGT"),          # empty side
+            ("s", "ACG", "t", "ACGT"),           # shorter than k
+            ("u", "ACGTACGTAAAA", "v", "ACGTACGTAAAATTTT"),  # unequal lengths
+            ("w", "CAGATTTTCATA", "x", "GAGATTTTCATA"),      # healthy duplicate-free pair
+        ],
+        ["name_a", "text_a", "name_b", "text_b"],
+    )
+    rows = {r["name_a"]: r for r in pairwise_report(pairs, cfg).collect()}
+    assert len(rows) == 4  # nothing crashed the stage
+    for name in ("e", "s", "u"):
+        assert rows[name]["script_d"] is None
+        assert rows[name]["bias"] is None
+    assert rows["w"]["script_d"] is not None
+
+
+def test_connected_components_raises_without_convergence(spark):
+    import pytest as _pytest
+
+    pairs = spark.createDataFrame(
+        [(f"n{i:03d}", f"n{i+1:03d}") for i in range(0, 40)], ["id_a", "id_b"]
+    )
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(pairs, max_iterations=1)

@@ -106,7 +106,7 @@ def test_query_shorter_than_w_yields_empty_mini_sets():
 def test_distribution_bucket_rule(spark):
     df = spark.createDataFrame([(0.004,), (0.005,), (0.094,), (0.096,)], ["j_kmer"])
     rows = {r["bucket"]: (r["cnt"], r["center"])
-            for r in jaccard_distribution(df, "j_kmer", 0.01).collect()}
+            for r in jaccard_distribution(df, "j_kmer", 0.01, group_cols=()).collect()}
     # floor((v + 0.005)/0.01): 0.004->0, 0.005->1, 0.094->9, 0.096->10
     assert rows == {0: (1, 0.0), 1: (1, 0.01), 9: (1, 0.09), 10: (1, 0.10)}
 
@@ -129,3 +129,36 @@ def test_max_length_truncation_semantics(spark):
     # truncated to 12 bp with B = 10-k+1 query k-mers -> windows limited
     full = sliding_jaccard(refs.where("name='long'"), "q", q, CFG_DNA, minimizer_mode="local")
     assert len(rows) < len(full.collect())
+
+
+def test_distribution_per_reference(spark):
+    df = spark.createDataFrame(
+        [("r1", 0.02), ("r1", 0.02), ("r2", 0.02)], ["ref_name", "j_kmer"]
+    )
+    rows = {(r["ref_name"], r["bucket"]): r["cnt"]
+            for r in jaccard_distribution(df, "j_kmer", 0.01).collect()}
+    assert rows == {("r1", 2): 2, ("r2", 2): 1}
+
+
+def test_sliding_non_acgt_reference_semantics(spark):
+    """Non-ACGT bases: warn-and-continue like the reference CLI — distinct
+    bad k-mers stay distinct in the exact-Jaccard profile, and the hash path
+    substitutes the sentinel instead of raising."""
+    from pyspark.sql import Row
+
+    cfg = SketchConfig(k=3, w=2, hash_type="minimap2", mode="dna",
+                       num_perm=1, lsh_bands=1)
+    q = "ACGTACGTAC"
+    refs = spark.createDataFrame([
+        Row(name="withN", seq="ACGTNACGTACGT"),
+        Row(name="clean", seq="ACGTACGTACGTA"),
+    ])
+    out = sliding_jaccard(refs, "q", q, cfg, minimizer_mode="local").collect()
+    names = {r["ref_name"] for r in out}
+    assert names == {"withN", "clean"}  # no crash on N
+    # 'ANA'-style kmers must not inflate intersection: every window j <= 1
+    for r in out:
+        assert 0.0 <= r["j_kmer"] <= 1.0
+    # exact-substring window of the clean ref still scores 1.0
+    best = max(r["j_kmer"] for r in out if r["ref_name"] == "clean")
+    assert best == 1.0
