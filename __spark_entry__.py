@@ -218,7 +218,8 @@ def q_lang_quality(spark, sf):
     per = d.select("lang", F.round(n_the / n_words, 6).alias("r"))
     return (
         per.groupBy("lang")
-        .agg(F.round(F.sum("r"), 6).alias("sum_ratio"), F.count("*").alias("n_docs"))
+        .agg(F.round(F.sum(F.col("r").cast("decimal(18,6)")).cast("double"), 6).alias("sum_ratio"),
+             F.count("*").alias("n_docs"))
         .orderBy("lang")
     )
 
@@ -377,8 +378,14 @@ def q_ann_ivf_topk(spark, sf):
     corpus = emb.where("vec_id <> 0")
     n_cells = 8
     idx = build_ivf(corpus, n_cells=n_cells, seed=42)
-    out = ivf_topk(idx, query, k=10, nprobe=n_cells)
-    return out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+    # over-fetch, then re-rank by the ROUNDED cosine with vec_id tiebreak so
+    # boundary ties resolve exactly like the oracle's ORDER BY round(...)
+    out = ivf_topk(idx, query, k=50, nprobe=n_cells)
+    return (
+        out.select("vec_id", F.round("cosine", 4).alias("cosine"))
+        .orderBy(F.desc("cosine"), F.asc("vec_id"))
+        .limit(10)
+    )
 
 
 def q_lang_id(spark, sf):
@@ -592,7 +599,8 @@ def oracle_sql() -> dict[str, str]:
                            len(string_split(text, ' ')), 6) AS r
               FROM documents
             )
-            SELECT lang, round(sum(r), 6) AS sum_ratio, count(*) AS n_docs
+            SELECT lang, round(CAST(sum(CAST(r AS DECIMAL(18,6))) AS DOUBLE), 6) AS sum_ratio,
+                   count(*) AS n_docs
             FROM per GROUP BY lang ORDER BY lang
         """,
         "o1_topk": """

@@ -23,6 +23,8 @@ import time
 REPO = os.path.dirname(os.path.abspath(__file__))
 sys.path.insert(0, REPO)
 
+import pyspark.sql.functions as F  # noqa: E402
+
 import __spark_entry__ as entry_mod  # noqa: E402
 from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig  # noqa: E402
 from minimizer_jaccard_estimator_spark.operators.dedup import DedupConfig, run_dedup  # noqa: E402
@@ -70,8 +72,11 @@ def main() -> None:
     t0 = time.monotonic()
     res = run_dedup(spark, transcripts,
                     DedupConfig(sketch=SKETCH, jaccard_threshold=0.5, staged_verify=True))
-    n_clusters = res.clusters.select("cluster_id").distinct().count()
-    n_convs = res.clusters.count()
+    # one action: a second pass would re-run the assembly agg + cluster join
+    stats = res.clusters.agg(
+        F.countDistinct("cluster_id").alias("k"), F.count("*").alias("n")
+    ).collect()[0]
+    n_clusters, n_convs = stats["k"], stats["n"]
     dedup_sec = time.monotonic() - t0
     timings["dedup_pipeline"] = round(dedup_sec, 3)
     extra.update(

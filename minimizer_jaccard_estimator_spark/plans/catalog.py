@@ -1,11 +1,14 @@
 """Stage checkpointing + lineage/metrics tables.
 
 Every pipeline stage can be materialized to a table and resumed from it.  In
-this sandbox the table format is parquet; on a cluster the same API targets
-Iceberg (``format='iceberg'`` writes via ``writeTo`` when the Iceberg runtime
-jars + catalog are configured — gated, not assumed).  This is the engine's
-equivalent of the reference's debug taps (``--debug=hashes/minis/...``,
-SURVEY.md §5.6): every intermediate is a real, queryable table.
+this sandbox the table format is parquet; on a cluster with the Iceberg
+runtime jars, ``format='iceberg'`` writes the same stage paths as path-based
+(Hadoop-catalog) Iceberg tables via the DataFrame writer, and resume detects
+them by their ``metadata/`` dir (parquet commits are detected by
+``_SUCCESS``).  Gated, not assumed — the jars are absent here.  This is the
+engine's equivalent of the reference's debug taps
+(``--debug=hashes/minis/...``, SURVEY.md §5.6): every intermediate is a real,
+queryable table.
 """
 
 from __future__ import annotations
@@ -34,10 +37,16 @@ class StageStore:
         assert self.root is not None
         return os.path.join(self.root, stage)
 
+    def _marker(self, stage: str) -> str:
+        # parquet commits write _SUCCESS; path-based (Hadoop-catalog) Iceberg
+        # tables have a metadata/ dir instead and never write _SUCCESS
+        name = "_SUCCESS" if self.format == "parquet" else "metadata"
+        return os.path.join(self.path(stage), name)
+
     def exists(self, stage: str, spark: SparkSession | None = None) -> bool:
         if self.root is None:
             return False
-        p = os.path.join(self.path(stage), "_SUCCESS")
+        p = self._marker(stage)
         if "://" in self.root:
             # remote roots (hdfs://, s3a://, …) need the Hadoop FS API —
             # os.path would silently report missing and disable resume

@@ -31,9 +31,14 @@ def get_spark(
     if shuffle_partitions is None:
         # ~2x cores locally; on a cluster AQE coalesces from a higher initial
         shuffle_partitions = max(2 * cpus, 8)
+    builder = SparkSession.builder
+    # spark-submit's --master must win; only default to local[] when nothing
+    # configured it (builder options would otherwise override spark-submit)
+    submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
+    if "--master" not in submit_args and not os.environ.get("SPARK_MASTER_URL"):
+        builder = builder.master(f"local[{cpus}]")
     builder = (
-        SparkSession.builder.master(f"local[{cpus}]")
-        .appName(app_name)
+        builder.appName(app_name)
         # AQE: runtime re-plan, skew-join splitting, partition coalescing
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")

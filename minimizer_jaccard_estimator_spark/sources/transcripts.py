@@ -19,7 +19,6 @@ ts timestamp)`` (BASELINE.json input_hint).  This module provides:
 
 from __future__ import annotations
 
-import hashlib
 import random
 from collections.abc import Iterator
 
