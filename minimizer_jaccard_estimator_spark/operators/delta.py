@@ -1,0 +1,127 @@
+"""Incremental (delta) dedup: fold NEW transcripts into an existing corpus.
+
+A prior :func:`..operators.dedup.run_dedup` left stage tables (conv_text,
+sketches, clusters) in a :class:`..plans.catalog.StageStore`.  This operator
+dedups a batch of NEW conversations against that corpus without resketching
+old documents and without re-running LSH over old-vs-old pairs:
+
+1. assemble + sketch ONLY the new conversations (the expensive per-byte UDF
+   runs on the delta, not the corpus);
+2. candidates = exact-digest matches and LSH band joins of NEW docs against
+   (old ∪ new) docs — old-vs-old pairs were already resolved by the prior
+   run and are represented by its cluster assignments;
+3. exact minimizer-Jaccard verify of those candidates;
+4. connected components over (prior same-cluster edges ∪ new accepted
+   pairs): a new document can merge two previously-separate clusters, which
+   plain "assign to nearest cluster" schemes get wrong.
+
+Equivalence with a full recompute at the same config is tested
+(tests/test_delta.py).  Cost model at scale: sketching is O(new bytes), the
+band join is O(new docs x bands) probing the corpus band table, CC runs on
+the (sparse) cluster-edge graph, so a 1% daily delta costs ~1% of a full
+run plus one corpus-wide band-table scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+import pyspark.sql.functions as F
+from pyspark.sql import DataFrame, SparkSession
+
+from ..functions.sketch import add_full_sketch
+from ..plans.catalog import StageStore
+from ..sources.transcripts import assemble_conversations
+from .connected_components import connected_components
+from .dedup import DedupConfig
+from .lsh import band_hashes
+from .verify import verify_pairs, verify_pairs_staged
+
+
+@dataclass
+class DeltaResult:
+    new_conv_text: DataFrame
+    new_sketches: DataFrame
+    candidates: DataFrame
+    verified: DataFrame
+    clusters: DataFrame  # FULL updated assignment (old + new conv_ids)
+
+
+def run_dedup_delta(
+    spark: SparkSession,
+    new_transcripts: DataFrame,
+    cfg: DedupConfig,
+    store: StageStore,
+) -> DeltaResult:
+    """Dedup ``new_transcripts`` against the corpus checkpointed in ``store``
+    (must hold completed conv_text, sketches, and clusters stages from a
+    prior run at the SAME sketch config)."""
+    for stage in ("conv_text", "sketches", "clusters"):
+        if not store.exists(stage, spark):
+            raise ValueError(f"store is missing completed stage {stage!r}")
+    old_conv = store.load(spark, "conv_text")
+    old_sk = store.load(spark, "sketches")
+    old_clusters = store.load(spark, "clusters")
+
+    new_conv = assemble_conversations(new_transcripts)
+    src = new_conv.select("conv_id", "text")
+    if cfg.rebalance_sketch:
+        src = src.repartition(spark.sparkContext.defaultParallelism * 2)
+    new_sk = add_full_sketch(src, cfg.sketch).drop("text").persist()
+
+    sk_cols = ["conv_id", "minimizers", "n_shingles", "minhash", "simhash"]
+    all_sk = old_sk.select(*sk_cols).union(new_sk.select(*sk_cols))
+
+    # exact-dup fast path: digest of new texts vs all texts
+    all_text = old_conv.select("conv_id", "text").union(new_conv.select("conv_id", "text"))
+    digests = all_text.select("conv_id", F.xxhash64("text").alias("_h"))
+    new_digests = new_conv.select(
+        F.col("conv_id").alias("_nid"), F.xxhash64("text").alias("_h")
+    )
+    exact = (
+        new_digests.join(digests, "_h")
+        .where(F.col("_nid") != F.col("conv_id"))
+        .select(
+            F.least("_nid", "conv_id").alias("id_a"),
+            F.greatest("_nid", "conv_id").alias("id_b"),
+        )
+    )
+
+    # LSH: new bands probe the (old ∪ new) band table
+    nb = band_hashes(new_sk.select("conv_id", "minhash"), cfg.sketch)
+    ab = band_hashes(all_sk.select("conv_id", "minhash"), cfg.sketch)
+    if cfg.max_bucket_size is not None:
+        sizes = ab.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+        keep = sizes.where(F.col("_n") <= cfg.max_bucket_size).drop("_n")
+        ab = ab.join(keep, ["band_id", "band_hash"])
+        nb = nb.join(keep, ["band_id", "band_hash"])
+    lsh = (
+        nb.select("band_id", "band_hash", F.col("conv_id").alias("_nid"))
+        .join(ab.select("band_id", "band_hash", F.col("conv_id").alias("_oid")),
+              ["band_id", "band_hash"])
+        .where(F.col("_nid") != F.col("_oid"))
+        .select(F.least("_nid", "_oid").alias("id_a"),
+                F.greatest("_nid", "_oid").alias("id_b"))
+    )
+    candidates = exact.union(lsh).distinct()
+
+    if cfg.staged_verify:
+        verified = verify_pairs_staged(
+            candidates, all_sk.select("conv_id", "minimizers", "minhash", "n_shingles"),
+            cfg.jaccard_threshold, cfg.staged_verify_margin,
+        )
+    else:
+        verified = verify_pairs(candidates, all_sk.select("conv_id", "minimizers"))
+
+    accepted = verified.where(F.col("j_mini") >= cfg.jaccard_threshold).select("id_a", "id_b")
+    # prior components as star edges member -> root; new pairs may bridge them
+    old_edges = old_clusters.where(F.col("conv_id") != F.col("cluster_id")).select(
+        F.col("conv_id").alias("id_a"), F.col("cluster_id").alias("id_b")
+    )
+    comp = connected_components(old_edges.union(accepted).distinct())
+    all_ids = old_clusters.select("conv_id").union(new_conv.select("conv_id"))
+    clusters = (
+        all_ids.join(comp, "conv_id", "left")
+        .select("conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id"))
+    )
+    return DeltaResult(new_conv, new_sk, candidates, verified, clusters)

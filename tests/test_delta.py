@@ -1,0 +1,84 @@
+"""Delta dedup == full recompute at the same config."""
+
+from __future__ import annotations
+
+import pyspark.sql.functions as F
+
+from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
+from minimizer_jaccard_estimator_spark.operators.delta import run_dedup_delta
+from minimizer_jaccard_estimator_spark.operators.dedup import DedupConfig, run_dedup
+from minimizer_jaccard_estimator_spark.plans.catalog import StageStore
+from minimizer_jaccard_estimator_spark.sources.transcripts import (
+    TRANSCRIPT_SCHEMA,
+    synthetic_transcripts,
+)
+
+CFG = DedupConfig(
+    sketch=SketchConfig(k=12, w=20, num_perm=64, lsh_bands=32),
+    jaccard_threshold=0.5,
+)
+
+
+def _canon(clusters):
+    """Cluster assignment as a partition (set of frozensets) — root ids may
+    legitimately differ between the two paths."""
+    groups = {}
+    for r in clusters.collect():
+        groups.setdefault(r["cluster_id"], set()).add(r["conv_id"])
+    return {frozenset(g) for g in groups.values()}
+
+
+def test_delta_matches_full_recompute(spark, tmp_path):
+    corpus = synthetic_transcripts(spark, n_base=40, dup_factor=2, seed=23).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 3 != 0)   # prior corpus
+    new = corpus.where(idx % 3 == 0)   # the delta (includes dups of old docs)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, CFG, store=store)
+
+    delta = run_dedup_delta(spark, new, CFG, store)
+    full = run_dedup(spark, corpus, CFG)
+
+    assert _canon(delta.clusters) == _canon(full.clusters)
+    # every conv appears exactly once in the updated assignment
+    n = delta.clusters.count()
+    assert n == delta.clusters.select("conv_id").distinct().count()
+    assert n == corpus.select("conv_id").distinct().count()
+
+
+def test_delta_merges_previously_separate_clusters(spark, tmp_path):
+    """A new doc near-dup to members of two old clusters must merge them."""
+    from pyspark.sql import Row
+
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, jaccard_threshold=0.3)
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    text_b = "zebra yak xenon walrus viper urchin tapir shark rhino quail " * 6
+    rows = [
+        Row(conv_id="a0", turn_idx=0, role="user", text=text_a, tool=None, ts=None),
+        Row(conv_id="b0", turn_idx=0, role="user", text=text_b, tool=None, ts=None),
+    ]
+    old = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    prior = run_dedup(spark, old, cfg, store=store)
+    assert _canon(prior.clusters) == {frozenset({"a0"}), frozenset({"b0"})}
+
+    # the bridge doc is half a0, half b0: J(bridge, a0) ~ 0.5 > threshold on
+    # both sides, so the two previously separate clusters must merge
+    bridge = Row(conv_id="m0", turn_idx=0, role="user", text=text_a + text_b,
+                 tool=None, ts=None)
+    delta = run_dedup_delta(
+        spark, spark.createDataFrame([bridge], TRANSCRIPT_SCHEMA), cfg, store
+    )
+    assert _canon(delta.clusters) == {frozenset({"a0", "b0", "m0"})}
+
+
+def test_delta_requires_completed_store(spark, tmp_path):
+    import pytest
+
+    t = synthetic_transcripts(spark, n_base=5, dup_factor=0, seed=1)
+    with pytest.raises(ValueError, match="missing completed stage"):
+        run_dedup_delta(spark, t, CFG, StageStore(root=str(tmp_path / "empty")))
