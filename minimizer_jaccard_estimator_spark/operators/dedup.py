@@ -154,6 +154,10 @@ def run_dedup(
     else:
         accepted = verified.where(F.col("j_mini") >= cfg.jaccard_threshold)
         accepted = accepted.select("id_a", "id_b")
+        # exact-digest pairs are provably identical texts and bypass the
+        # Jaccard threshold: texts shorter than k have EMPTY minimizer sets
+        # (j_mini = 0), which must not unlink byte-identical duplicates
+        accepted = accepted.union(exact_dup_pairs(conv_text)).distinct()
         if spans is not None:
             accepted = accepted.union(
                 substring_dup_pairs(spans, cfg.substring_min_cov)

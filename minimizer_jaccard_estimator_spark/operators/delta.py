@@ -56,6 +56,13 @@ def run_dedup_delta(
     """Dedup ``new_transcripts`` against the corpus checkpointed in ``store``
     (must hold completed conv_text, sketches, and clusters stages from a
     prior run at the SAME sketch config)."""
+    if cfg.simhash_max_hamming is not None or cfg.substring_min_len is not None:
+        # these would make delta results diverge from a full recompute at
+        # the same config — refuse loudly rather than silently dropping them
+        raise ValueError(
+            "run_dedup_delta does not implement simhash_max_hamming or the "
+            "substring pass; run a full run_dedup for those configs"
+        )
     for stage in ("conv_text", "sketches", "clusters"):
         if not store.exists(stage, spark):
             raise ValueError(f"store is missing completed stage {stage!r}")
@@ -63,7 +70,17 @@ def run_dedup_delta(
     old_sk = store.load(spark, "sketches")
     old_clusters = store.load(spark, "clusters")
 
+    if cfg.salt_partitions:
+        new_transcripts = new_transcripts.repartition(
+            cfg.salt_partitions, F.col("conv_id"), F.col("turn_idx")
+        )
     new_conv = assemble_conversations(new_transcripts)
+    overlap = new_conv.join(old_clusters, "conv_id").limit(1).count()
+    if overlap:
+        raise ValueError(
+            "new_transcripts contain conv_ids already present in the corpus; "
+            "delta ingestion requires fresh ids (re-ingest via a full run)"
+        )
     src = new_conv.select("conv_id", "text")
     if cfg.rebalance_sketch:
         src = src.repartition(spark.sparkContext.defaultParallelism * 2)
@@ -72,18 +89,31 @@ def run_dedup_delta(
     sk_cols = ["conv_id", "minimizers", "n_shingles", "minhash", "simhash"]
     all_sk = old_sk.select(*sk_cols).union(new_sk.select(*sk_cols))
 
-    # exact-dup fast path: digest of new texts vs all texts
-    all_text = old_conv.select("conv_id", "text").union(new_conv.select("conv_id", "text"))
-    digests = all_text.select("conv_id", F.xxhash64("text").alias("_h"))
+    # exact-dup fast path: link each new doc to its digest group's MIN id
+    # only (star pairs — one edge, not one per group member; the rest of the
+    # group is already connected through the prior run's cluster edges)
     new_digests = new_conv.select(
         F.col("conv_id").alias("_nid"), F.xxhash64("text").alias("_h")
     )
+    # anchor preference: an OLD group member if the digest exists in the
+    # corpus (links the new doc into the existing cluster), else the min new
+    # id (links new-vs-new duplicate groups); a min over old ∪ new could pick
+    # a new id smaller than every old member, which would leave that new doc
+    # anchorless against the old group
+    old_anchor = (
+        old_conv.select("conv_id", F.xxhash64("text").alias("_h"))
+        .groupBy("_h").agg(F.min("conv_id").alias("_old"))
+    )
+    new_anchor = new_digests.groupBy("_h").agg(F.min("_nid").alias("_new"))
+    anchors = new_anchor.join(old_anchor, "_h", "left").select(
+        "_h", F.coalesce("_old", "_new").alias("_anchor")
+    )
     exact = (
-        new_digests.join(digests, "_h")
-        .where(F.col("_nid") != F.col("conv_id"))
+        new_digests.join(anchors, "_h")
+        .where(F.col("_nid") != F.col("_anchor"))
         .select(
-            F.least("_nid", "conv_id").alias("id_a"),
-            F.greatest("_nid", "conv_id").alias("id_b"),
+            F.least("_nid", "_anchor").alias("id_a"),
+            F.greatest("_nid", "_anchor").alias("id_b"),
         )
     )
 
@@ -91,10 +121,19 @@ def run_dedup_delta(
     nb = band_hashes(new_sk.select("conv_id", "minhash"), cfg.sketch)
     ab = band_hashes(all_sk.select("conv_id", "minhash"), cfg.sketch)
     if cfg.max_bucket_size is not None:
-        sizes = ab.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
+        sizes = ab.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n")).persist()
+        # no silent caps: record the excluded hot buckets like run_dedup does
+        store.materialize(
+            spark, "delta_lsh_dropped_buckets",
+            sizes.where(F.col("_n") > cfg.max_bucket_size).select(
+                "band_id", "band_hash", F.col("_n").alias("n_docs")
+            ),
+            resume=False,
+        )
         keep = sizes.where(F.col("_n") <= cfg.max_bucket_size).drop("_n")
+        # filtering ab suffices: the nb-to-ab equi-join below can only emit
+        # pairs whose bucket survived in ab
         ab = ab.join(keep, ["band_id", "band_hash"])
-        nb = nb.join(keep, ["band_id", "band_hash"])
     lsh = (
         nb.select("band_id", "band_hash", F.col("conv_id").alias("_nid"))
         .join(ab.select("band_id", "band_hash", F.col("conv_id").alias("_oid")),
@@ -114,6 +153,9 @@ def run_dedup_delta(
         verified = verify_pairs(candidates, all_sk.select("conv_id", "minimizers"))
 
     accepted = verified.where(F.col("j_mini") >= cfg.jaccard_threshold).select("id_a", "id_b")
+    # exact-digest pairs are identical texts: accept regardless of j_mini
+    # (texts shorter than k have empty minimizer sets and j_mini = 0)
+    accepted = accepted.union(exact).distinct()
     # prior components as star edges member -> root; new pairs may bridge them
     old_edges = old_clusters.where(F.col("conv_id") != F.col("cluster_id")).select(
         F.col("conv_id").alias("id_a"), F.col("cluster_id").alias("id_b")

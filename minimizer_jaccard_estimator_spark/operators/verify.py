@@ -68,18 +68,20 @@ def verify_pairs_staged(
     they are exactly the pairs where the prefilter saves nothing anyway.
     Set ``small_doc_bypass=0`` to disable (safe for the seeded scheme).
     """
-    est = signature_estimate(candidates, sketches.select(id_col, sig_col), id_col, sig_col)
-    keep = F.col("j_sig") >= F.lit(max(0.0, threshold - margin))
-    if small_doc_bypass and size_col in sketches.columns:
-        sizes = attach_pair_columns(
-            candidates, sketches.select(id_col, size_col), [size_col], id_col
-        ).select("id_a", "id_b", f"{size_col}_a", f"{size_col}_b")
-        est = est.join(sizes, ["id_a", "id_b"])
+    use_bypass = bool(small_doc_bypass) and size_col in sketches.columns
+    cols = [sig_col, size_col] if use_bypass else [sig_col]
+    joined = attach_pair_columns(
+        candidates, sketches.select(id_col, *cols), cols, id_col
+    )
+    a, b = f"{sig_col}_a", f"{sig_col}_b"
+    agree = F.size(F.filter(F.zip_with(a, b, lambda x, y: x == y), lambda eq: eq))
+    keep = (agree / F.size(a)) >= F.lit(max(0.0, threshold - margin))
+    if use_bypass:
         keep = keep | (
             F.least(F.col(f"{size_col}_a"), F.col(f"{size_col}_b"))
             < F.lit(small_doc_bypass)
         )
-    plausible = est.where(keep)
+    plausible = joined.where(keep)
     return verify_pairs(
         plausible.select("id_a", "id_b"), sketches.select(id_col, set_col), id_col, set_col
     )

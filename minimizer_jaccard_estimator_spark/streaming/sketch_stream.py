@@ -64,7 +64,9 @@ def _assemble_func(sep: str, timeout_ms: int | None):
         idxs, texts = state.get if state.exists else ([], [])
         idxs, texts = list(idxs), list(texts)
         for pdf in pdfs:
-            idxs.extend(int(i) for i in pdf["turn_idx"])
+            # null turn_idx is legal (batch array_sort puts null structs
+            # first); keep None instead of crashing on int(NaN)
+            idxs.extend(None if pd.isna(i) else int(i) for i in pdf["turn_idx"])
             # preserve nulls: batch concat_ws SKIPS null turn texts (they
             # still count toward n_turns) — replacing with "" would keep a
             # spurious separator and break the streaming==batch contract
@@ -76,7 +78,10 @@ def _assemble_func(sep: str, timeout_ms: int | None):
         # turn_idx compare text with SQL null-first semantics
         order = sorted(
             range(len(idxs)),
-            key=lambda i: (idxs[i], texts[i] is not None, texts[i] or ""),
+            key=lambda i: (
+                idxs[i] is not None, idxs[i] or 0,
+                texts[i] is not None, texts[i] or "",
+            ),
         )
         joined = sep.join(texts[i] for i in order if texts[i] is not None)
         yield pd.DataFrame(
@@ -167,7 +172,7 @@ def start_dedup_stream(
     """Streaming near-dup detection: per micro-batch, refresh sketches for
     changed conversations, generate LSH candidates of those conversations
     against the WHOLE corpus seen so far, verify with exact minimizer
-    Jaccard, and append accepted pairs.
+    Jaccard, and append every re-verified pair with its batch id.
 
     ``latest_accepted_pairs`` + batch connected components give the cluster
     view at any time.  Note on staleness: a pair accepted in batch b reflects
@@ -202,9 +207,27 @@ def start_dedup_stream(
                     F.greatest("id_x", "id_y").alias("id_b"))
             .distinct()
         )
+        # also re-verify every PREVIOUSLY seen pair touching an updated
+        # conversation: a diverged pair may no longer share any band, so the
+        # band join alone would never re-examine (and thus never retract) it
+        from pyspark.errors import AnalysisException
+
+        try:
+            prior = spark.read.parquet(pairs_sink).select("id_a", "id_b")
+            touched = prior.join(
+                new_ids.select(F.col("conv_id").alias("id_a")), "id_a"
+            ).union(
+                prior.join(new_ids.select(F.col("conv_id").alias("id_b")), "id_b")
+                .select("id_a", "id_b")
+            )
+            cand = cand.union(touched).distinct()
+        except AnalysisException:
+            pass  # first batch: no pairs sink yet
         verified = verify_pairs(cand, corpus.select("conv_id", "minimizers"))
-        accepted = verified.where(F.col("j_mini") >= jaccard_threshold)
-        accepted.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
+        # write EVERY re-verified pair (accepted or not): the latest row per
+        # pair is the current verdict, so a pair that later diverges below
+        # the threshold is retracted at read time instead of living forever
+        verified.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(pairs_sink)
 
@@ -216,16 +239,30 @@ def start_dedup_stream(
     )
 
 
-def latest_accepted_pairs(spark: SparkSession, pairs_sink: str) -> DataFrame:
-    """Latest verdict per (id_a, id_b) from the streaming pairs sink."""
-    import os
+def latest_verified_pairs(spark: SparkSession, pairs_sink: str) -> DataFrame:
+    """Latest verdict per (id_a, id_b) from the streaming pairs sink.
 
-    if not os.path.exists(pairs_sink):
+    Missing sink (no batch emitted yet) => empty result; detection goes
+    through the reader so hdfs/s3a URIs work (os.path would silently report
+    missing and return nothing forever)."""
+    from pyspark.errors import AnalysisException
+
+    try:
+        df = spark.read.parquet(pairs_sink)
+    except AnalysisException:
         return spark.createDataFrame([], "id_a string, id_b string, j_mini double")
-    df = spark.read.parquet(pairs_sink)
     return (
         df.groupBy("id_a", "id_b")
         .agg(F.max_by(F.col("j_mini"), F.col("batch_id")).alias("j_mini"))
+    )
+
+
+def latest_accepted_pairs(
+    spark: SparkSession, pairs_sink: str, threshold: float = 0.5
+) -> DataFrame:
+    """Pairs whose LATEST verdict clears the threshold (retraction-aware)."""
+    return latest_verified_pairs(spark, pairs_sink).where(
+        F.col("j_mini") >= F.lit(threshold)
     )
 
 

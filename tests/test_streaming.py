@@ -236,3 +236,40 @@ def test_stream_restart_from_checkpoint(spark, tmp_path):
     for cid, wr in want.items():
         for col in ("n_turns", "text_len", "minimizers", "minhash", "simhash"):
             assert got[cid][col] == wr[col], (cid, col)
+
+
+def test_streaming_pair_retraction(spark, tmp_path):
+    """A pair accepted early must be retracted once one side grows apart —
+    the latest verdict wins even when the pair no longer shares any band."""
+    from minimizer_jaccard_estimator_spark.streaming.sketch_stream import (
+        latest_accepted_pairs,
+        latest_verified_pairs,
+        start_dedup_stream,
+    )
+
+    src = str(tmp_path / "in")
+    shared = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 4
+    divergent = ("zebra yak xenon walrus viper urchin tapir shark rhino quail " * 40)
+    wave1 = [
+        ("A", 0, "user", shared, None, None),
+        ("B", 0, "user", shared, None, None),
+    ]
+    wave2 = [("A", 1, "user", divergent, None, None)]
+    spark.createDataFrame(wave1, TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+    spark.createDataFrame(wave2, TRANSCRIPT_SCHEMA).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", "1"
+    ).parquet(src)
+    q = start_dedup_stream(spark, stream, CFG, str(tmp_path / "sk"),
+                           str(tmp_path / "pairs"), str(tmp_path / "ck"),
+                           jaccard_threshold=0.5)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    hist = latest_verified_pairs(spark, str(tmp_path / "pairs")).collect()
+    assert hist, "the pair must have been verified at least once"
+    accepted = latest_accepted_pairs(spark, str(tmp_path / "pairs"), 0.5).collect()
+    assert accepted == [], f"diverged pair must be retracted, got {accepted}"
