@@ -194,6 +194,21 @@ def q_token_count(spark, sf):
     )
 
 
+def q_bpe_token_count(spark, sf):
+    """BPE-ish regex tokenization (word pieces + punctuation runs, the
+    GPT-2-style pre-tokenizer shape) — token totals per lang."""
+    d = _t(spark, sf, "documents")
+    toks = F.size(F.regexp_extract_all("text", F.lit(r"[A-Za-z0-9]+|[^A-Za-z0-9\s]+"), 0)).cast("long")
+    return (
+        d.select("lang", toks.alias("toks"))
+        .groupBy("lang")
+        .agg(F.sum("toks").alias("total_tokens"),
+             F.round(F.avg("toks"), 6).alias("avg_tokens"),
+             F.count("*").alias("n_docs"))
+        .orderBy("lang")
+    )
+
+
 def q_quality_score(spark, sf):
     """Quality scoring: length, word count, avg word length, stopword ratio."""
     d = _t(spark, sf, "documents")
@@ -484,6 +499,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dedup": q_exact_dedup,
         "doc_fingerprint": q_doc_fingerprint,
         "token_count": q_token_count,
+        "bpe_token_count": q_bpe_token_count,
         "quality_score": q_quality_score,
         "lang_quality": q_lang_quality,
         "o1_topk": q_o1_topk,
@@ -581,6 +597,16 @@ def oracle_sql() -> dict[str, str]:
         "token_count": """
             WITH t AS (SELECT lang, len(string_split(text, ' ')) AS toks FROM documents)
             SELECT lang, sum(toks) AS total_tokens, count(*) AS n_docs, max(toks) AS max_tokens
+            FROM t GROUP BY lang ORDER BY lang
+        """,
+        "bpe_token_count": """
+            WITH t AS (
+              SELECT lang,
+                     len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]+')) AS toks
+              FROM documents
+            )
+            SELECT lang, sum(toks) AS total_tokens,
+                   round(avg(toks), 6) AS avg_tokens, count(*) AS n_docs
             FROM t GROUP BY lang ORDER BY lang
         """,
         "quality_score": """
