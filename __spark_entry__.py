@@ -670,8 +670,8 @@ def oracle_sql() -> dict[str, str]:
         "lang_id": """
             WITH w AS (
               SELECT doc_id,
-                     len(string_split(text, ' ')) AS n_words,
-                     list_distinct(string_split(lower(text), ' ')) AS ws
+                     len(string_split(coalesce(text, ''), ' ')) AS n_words,
+                     list_distinct(string_split(lower(coalesce(text, '')), ' ')) AS ws
               FROM documents
             ),
             h AS (

@@ -140,12 +140,18 @@ def run_dedup(
         if store.exists("spans"):
             spans = store.load(spark, "spans")
         else:
+            want_dropped = store.root is not None
             sp = duplicate_spans(
                 conv_text,
                 cfg.substring_min_len,
                 hash_type=cfg.sketch.hash_type,
                 seed=cfg.sketch.hash_seed,
+                with_dropped=want_dropped,
             )
+            if want_dropped:
+                sp, dropped_anchors = sp
+                # no silent caps (same rule as lsh_dropped_buckets)
+                store.materialize(spark, "substring_dropped_anchors", dropped_anchors)
             spans = store.materialize(spark, "spans", sp)
 
     # -- cluster the accepted pairs; isolated convs cluster as themselves

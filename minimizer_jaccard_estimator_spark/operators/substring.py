@@ -8,7 +8,9 @@ substring-level duplicate spans".  Design (Spark-first, no per-row Python):
    ``winnowed_minimizers.py:18-53``), with ``k + w - 1 = min_len``.  The
    winnowing guarantee (Schleimer et al., MOSS): any two documents sharing an
    exact substring of length >= min_len share at least one anchor VALUE, so
-   the anchor equi-join has perfect recall for spans >= min_len.
+   the UNCAPPED anchor equi-join has perfect recall for spans >= min_len.
+   The frequency cap below trades recall on corpus-wide boilerplate anchors
+   for bounded work — capped anchors are recorded, never silently dropped.
 2. **Candidate join** — exploded ``(doc_id, anchor)`` self-join on anchor
    hash, hot anchors capped by frequency (stop-shingle removal) exactly like
    the LSH bucket cap; this is the scale knob that keeps the shuffle linear
@@ -91,28 +93,40 @@ def anchor_table(
 
 
 def substring_candidate_pairs(
-    anchors: DataFrame, max_bucket_size: int | None = 200
-) -> DataFrame:
+    anchors: DataFrame, max_bucket_size: int | None = 200,
+    with_dropped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Distinct (id_a < id_b) pairs sharing >=1 anchor value.
 
-    Hot anchors (> max_bucket_size docs) are dropped before the self-join —
-    they are boilerplate shingles whose pair blow-up is quadratic; real
-    duplicate spans longer than min_len always contribute additional, rarer
-    anchors.  Map-side the per-doc duplicate anchors collapse via distinct.
+    Hot anchors (> max_bucket_size docs) are excluded before the self-join —
+    they are boilerplate shingles whose pair blow-up is quadratic.  NOTE this
+    is a recall trade: duplicate spans whose ONLY shared anchors are
+    corpus-wide boilerplate are missed; ``with_dropped=True`` returns the
+    excluded (anchor, n_docs) table so capped runs are auditable (no silent
+    caps), and raising max_bucket_size restores full recall.
     """
     per_doc = anchors.select("id", "anchor").distinct()
+    dropped = None
     if max_bucket_size is not None:
         freq = per_doc.groupBy("anchor").agg(F.count("*").alias("n_docs"))
+        if with_dropped:
+            freq = freq.persist()
+            dropped = freq.where(F.col("n_docs") > max_bucket_size)
         keep = freq.where(F.col("n_docs") <= max_bucket_size).select("anchor")
         per_doc = per_doc.join(keep, "anchor")
+    elif with_dropped:
+        dropped = anchors.sparkSession.createDataFrame([], "anchor long, n_docs long")
     a = per_doc.select(F.col("anchor"), F.col("id").alias("id_a"))
     b = per_doc.select(F.col("anchor"), F.col("id").alias("id_b"))
-    return (
+    pairs = (
         a.join(b, "anchor")
         .where(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
         .distinct()
     )
+    if with_dropped:
+        return pairs, dropped
+    return pairs
 
 
 _SPAN_SCHEMA = StructType(
@@ -120,6 +134,7 @@ _SPAN_SCHEMA = StructType(
         StructField("cov_a", LongType()),
         StructField("cov_b", LongType()),
         StructField("longest", LongType()),
+        StructField("n_spans", LongType()),  # TRUE count (spans array is capped)
         StructField(
             "spans",
             ArrayType(
@@ -139,12 +154,13 @@ _SPAN_SCHEMA = StructType(
 def _span_udf(min_len: int, max_spans: int):
     def run(it: Iterator[tuple[pd.Series, pd.Series]]) -> Iterator[pd.DataFrame]:
         for ta, tb in it:
-            cov_a, cov_b, longest, spans = [], [], [], []
+            cov_a, cov_b, longest, n_spans, spans = [], [], [], [], []
             for x, y in zip(ta, tb):
                 st = substring_stats(x or "", y or "", min_len)
                 cov_a.append(st["cov_a"])
                 cov_b.append(st["cov_b"])
                 longest.append(st["longest"])
+                n_spans.append(len(st["spans"]))
                 spans.append(
                     [
                         {"pos_a": pa, "pos_b": pb, "length": ln}
@@ -156,6 +172,7 @@ def _span_udf(min_len: int, max_spans: int):
                     "cov_a": np.array(cov_a, dtype=np.int64),
                     "cov_b": np.array(cov_b, dtype=np.int64),
                     "longest": np.array(longest, dtype=np.int64),
+                    "n_spans": np.array(n_spans, dtype=np.int64),
                     "spans": spans,
                 }
             )
@@ -172,16 +189,22 @@ def duplicate_spans(
     max_spans_per_pair: int = 64,
     id_col: str = "conv_id",
     text_col: str = "text",
-) -> DataFrame:
+    with_dropped: bool = False,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
     """End-to-end suffix-array duplicate-span pass.
 
     Output: one row per candidate doc pair with exact duplicated-byte
-    coverage on each side, the longest shared substring, and (capped) maximal
-    span coordinates.  Pairs with no span >= min_len are dropped.
+    coverage on each side, the longest shared substring, the TRUE maximal
+    span count, and (capped) span coordinates.  Pairs with no span >=
+    min_len are dropped.  ``with_dropped=True`` also returns the hot-anchor
+    table excluded by the frequency cap.
     """
     base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
     anchors = anchor_table(base, min_len, hash_type, seed, id_col="id")
-    pairs = substring_candidate_pairs(anchors, max_bucket_size)
+    pairs = substring_candidate_pairs(anchors, max_bucket_size, with_dropped)
+    dropped = None
+    if with_dropped:
+        pairs, dropped = pairs
     # byte lengths (octet_length), matching the byte-offset span coordinates
     # and byte coverage from the suffix-array kernel — char lengths would
     # overstate coverage fractions on multi-byte text
@@ -191,7 +214,7 @@ def duplicate_spans(
                      F.octet_length("text").cast("long").alias("len_b"))
     joined = pairs.join(ta, "id_a").join(tb, "id_b")
     st = _span_udf(min_len, max_spans_per_pair)(F.col("_text_a"), F.col("_text_b")).alias("_st")
-    return (
+    out = (
         joined.select("id_a", "id_b", "len_a", "len_b", st)
         .select(
             "id_a",
@@ -201,11 +224,14 @@ def duplicate_spans(
             F.col("_st.cov_a").alias("cov_a"),
             F.col("_st.cov_b").alias("cov_b"),
             F.col("_st.longest").alias("longest"),
-            F.size("_st.spans").alias("n_spans"),
+            F.col("_st.n_spans").alias("n_spans"),
             F.col("_st.spans").alias("spans"),
         )
         .where(F.col("longest") >= min_len)
     )
+    if with_dropped:
+        return out, dropped
+    return out
 
 
 def substring_dup_pairs(

@@ -27,10 +27,11 @@ def language_id(
     hit counts over the distinct lowercase words; deterministic tie-break by
     language code order ('de' < 'en' < 'es' < 'fr').  Unscored docs (zero
     hits everywhere) predict 'und' (undetermined)."""
-    words = F.array_distinct(F.split(F.lower(F.col(text_col)), " "))
+    text = F.coalesce(F.col(text_col), F.lit(""))  # NULL text == unscorable, not 'fr'
+    words = F.array_distinct(F.split(F.lower(text), " "))
     scored = df.select(
         F.col(id_col),
-        F.size(F.split(F.col(text_col), " ")).cast("long").alias("n_words"),
+        F.size(F.split(text, " ")).cast("long").alias("n_words"),
         *[
             F.size(
                 F.array_intersect(words, F.array(*[F.lit(w) for w in profile]))

@@ -79,42 +79,61 @@ def lcp_array(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
-def _best_cross_lcp(data: np.ndarray, split: int) -> tuple[np.ndarray, np.ndarray]:
-    """For every suffix of doc A (positions < split) the longest prefix shared
-    with any suffix of doc B (positions > split), plus B's matching position.
+def _best_cross_lcp(
+    data: np.ndarray, split: int
+) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
+    """Best cross-document LCPs in BOTH directions from ONE suffix array.
 
-    ``data`` = bytes(A) + [sentinel at ``split``] + bytes(B).  Two sweeps over
-    (SA, LCP): the LCP of two arbitrary suffixes is the min of adjacent LCPs
-    between their ranks, so the best partner of an A-suffix is always the
-    nearest B-suffix above or below it in suffix order.
+    ``data`` = bytes(A) + [sentinel at ``split``] + bytes(B).  Returns
+    ``(best_a, partner_a, best_b)``: for every position of A the longest
+    prefix shared with any B suffix (+ a matching B position), and for every
+    position of B the longest prefix shared with any A suffix.  Two sweeps
+    over (SA, LCP): the LCP of two arbitrary suffixes is the min of adjacent
+    LCPs between their ranks, so each side's best partner is the nearest
+    other-side suffix above or below it in suffix order.
     """
     n = data.shape[0]
     sa = suffix_array(data)
     lcp = lcp_array(data, sa)
-    best = np.zeros(split, dtype=np.int64)
-    partner = np.full(split, -1, dtype=np.int64)
+    len_b = n - split - 1
+    best_a = np.zeros(split, dtype=np.int64)
+    partner_a = np.full(split, -1, dtype=np.int64)
+    best_b = np.zeros(max(len_b, 0), dtype=np.int64)
 
     for ranks in (range(n), range(n - 1, -1, -1)):
         last_b = -1  # position (in data) of last B-suffix seen this sweep
-        run = 0  # min LCP between that B-suffix and the current rank
+        run_b = 0  # min LCP between that B-suffix and the current rank
+        seen_a = False
+        run_a = 0  # min LCP since the last A-suffix
         prev_r = None
         for r in ranks:
             if prev_r is not None:
                 # adjacent-lcp index is the larger of the two ranks
-                step = lcp[r] if r > prev_r else lcp[prev_r]
-                run = min(run, int(step))
+                step = int(lcp[r] if r > prev_r else lcp[prev_r])
+                if step < run_b:
+                    run_b = step
+                if step < run_a:
+                    run_a = step
             pos = int(sa[r])
             if pos > split:
+                if seen_a:
+                    m = min(run_a, n - pos)
+                    j = pos - split - 1
+                    if m > best_b[j]:
+                        best_b[j] = m
                 last_b = pos
-                run = n  # reset: next A-suffix mins from here
-            elif pos < split and last_b >= 0:
-                # cap by the sentinel: a match can't cross position `split`
-                m = min(run, split - pos)
-                if m > best[pos]:
-                    best[pos] = m
-                    partner[pos] = last_b - split - 1
+                run_b = n  # reset: next A-suffix mins from here
+            elif pos < split:
+                if last_b >= 0:
+                    # cap by the sentinel: a match can't cross `split`
+                    m = min(run_b, split - pos)
+                    if m > best_a[pos]:
+                        best_a[pos] = m
+                        partner_a[pos] = last_b - split - 1
+                seen_a = True
+                run_a = n
             prev_r = r
-    return best, partner
+    return best_a, partner_a, best_b
 
 
 def substring_stats(a: str, b: str, min_len: int) -> dict:
@@ -131,10 +150,8 @@ def substring_stats(a: str, b: str, min_len: int) -> dict:
         return {"cov_a": 0, "cov_b": 0, "longest": 0, "spans": []}
     data = np.concatenate([ab, np.array([256], dtype=np.int64), bb])
     split = ab.size
-    best_a, part_a = _best_cross_lcp(data, split)
-    # B-side coverage: rerun with roles swapped (same SA cost class)
-    data_r = np.concatenate([bb, np.array([256], dtype=np.int64), ab])
-    best_b, _ = _best_cross_lcp(data_r, bb.size)
+    # one suffix array yields both directions (A-side spans + B-side coverage)
+    best_a, part_a, best_b = _best_cross_lcp(data, split)
 
     longest = int(best_a.max()) if best_a.size else 0
 

@@ -39,3 +39,15 @@ def parse_hash_spec(spec: str, default_type: str = "minimap2") -> tuple[str, int
             hash_type, s = head, tail
     seed = int(s, 16) if s.lower().startswith("0x") else int(s)
     return hash_type, seed
+
+
+def write_report(df, out: str | None, fmt: str = "tsv") -> None:
+    """Shared report sink for the CLI job scripts: stdout TSV when ``out``
+    is None, else a tab-separated CSV dir or parquet."""
+    if out is None:
+        for line in df.toPandas().to_csv(sep="\t", index=False).splitlines():
+            print(line)
+    elif fmt == "tsv":
+        df.write.mode("overwrite").option("sep", "\t").option("header", True).csv(out)
+    else:
+        df.write.mode("overwrite").parquet(out)

@@ -22,7 +22,6 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-from pyspark.sql import SparkSession
 
 from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
 from minimizer_jaccard_estimator_spark.operators.dedup import DedupConfig, run_dedup
@@ -45,11 +44,18 @@ def main() -> None:
     ap.add_argument("--substring-min-len", type=int, default=None)
     ap.add_argument("--resume", action="store_true",
                     help="reuse completed stage tables under --output")
+    ap.add_argument("--overwrite", action="store_true",
+                    help="allow deleting an existing --output directory")
     args = ap.parse_args()
 
-    spark = SparkSession.builder.appName("mje-dedup").getOrCreate()
+    from minimizer_jaccard_estimator_spark.plans.session import get_spark
+    spark = get_spark(app_name="mje-dedup")
 
-    if args.input.endswith((".parquet", "/")) or "/" in args.input:
+    looks_like_path = (
+        args.input.endswith((".parquet", "/")) or "/" in args.input
+        or os.path.exists(args.input)
+    )
+    if looks_like_path:
         transcripts = spark.read.parquet(args.input)
     else:
         transcripts = spark.read.table(args.input)
@@ -67,8 +73,14 @@ def main() -> None:
     )
     store = StageStore(root=args.output)
     if not args.resume:
-        # fresh run: drop stale stage tables (local path or hdfs/s3a URI)
-        store.remove_all(spark)
+        if store.exists("conv_text", spark) and not args.overwrite:
+            raise SystemExit(
+                f"--output {args.output} holds a prior run; pass --resume to "
+                "continue it or --overwrite to delete it"
+            )
+        if args.overwrite:
+            # explicit opt-in: drop stale stage tables (local path or URI)
+            store.remove_all(spark)
 
     res = run_dedup(spark, transcripts, cfg, store=store)
     n = res.clusters.count()

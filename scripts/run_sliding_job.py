@@ -26,7 +26,6 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-from pyspark.sql import SparkSession
 
 
 def main() -> None:
@@ -50,9 +49,10 @@ def main() -> None:
         sliding_jaccard,
     )
     from minimizer_jaccard_estimator_spark.sources.fasta import read_fasta
-    from minimizer_jaccard_estimator_spark.util import int_with_unit, parse_hash_spec
+    from minimizer_jaccard_estimator_spark.util import int_with_unit, parse_hash_spec, write_report
 
-    spark = SparkSession.builder.appName("mje-sliding").getOrCreate()
+    from minimizer_jaccard_estimator_spark.plans.session import get_spark
+    spark = get_spark(app_name="mje-sliding")
     hash_type, seed = parse_hash_spec(args.hash_spec)
     cfg = SketchConfig(
         k=int_with_unit(args.k), w=int_with_unit(args.window),
@@ -77,13 +77,7 @@ def main() -> None:
         else details
     )
 
-    if args.out is None:
-        for line in report.toPandas().to_csv(sep="\t", index=False).splitlines():
-            print(line)
-    elif args.format == "tsv":
-        report.write.mode("overwrite").option("sep", "\t").option("header", True).csv(args.out)
-    else:
-        report.write.mode("overwrite").parquet(args.out)
+    write_report(report, args.out, args.format)
 
 
 if __name__ == "__main__":
