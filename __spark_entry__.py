@@ -599,7 +599,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang, sum(toks) AS total_tokens, count(*) AS n_docs, max(toks) AS max_tokens
             FROM t GROUP BY lang ORDER BY lang
         """,
-        "bpe_token_count": """
+        "bpe_token_count": r"""
             WITH t AS (
               SELECT lang,
                      len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]+')) AS toks
