@@ -280,6 +280,24 @@ def q_events_window(spark, sf):
     )
 
 
+def q_events_session_window(spark, sf):
+    """Session-window aggregation (30-minute inactivity gap) per event_type —
+    the streaming stateful-window operator executed in batch; oracle is the
+    classic gaps-and-islands SQL."""
+    e = _t(spark, sf, "events")
+    s = (
+        e.groupBy(F.session_window("ts", "30 minutes").alias("w"), "event_type")
+        .agg(F.count("*").alias("cnt"),
+             F.sum(F.col("value").cast("decimal(18,6)")).cast("double").alias("sum_value"))
+    )
+    return s.select(
+        "event_type",
+        F.col("w.start").alias("session_start"),
+        "cnt",
+        "sum_value",
+    ).orderBy("event_type", "session_start")
+
+
 def q_ann_cosine_topk(spark, sf):
     """Brute-force cosine top-k similarity search against query vec_id=0."""
     emb = _t(spark, sf, "embeddings").select(
@@ -505,6 +523,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_topk": q_o1_topk,
         "join_agg_revenue": q_join_agg_revenue,
         "events_window": q_events_window,
+        "events_session_window": q_events_session_window,
         "ann_cosine_topk": q_ann_cosine_topk,
         # kernel-backed (rows-only checks)
         "minimizer_sketch": q_minimizer_sketch,
@@ -646,6 +665,30 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "events_session_window": """
+            WITH o AS (
+              SELECT event_type, ts, value,
+                     lag(ts) OVER (PARTITION BY event_type ORDER BY ts) AS prev_ts
+              FROM events
+            ),
+            flagged AS (
+              SELECT event_type, ts, value,
+                     CASE WHEN prev_ts IS NULL
+                               OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
+                          ELSE 0 END AS new_session
+              FROM o
+            ),
+            sess AS (
+              SELECT event_type, ts, value,
+                     sum(new_session) OVER (PARTITION BY event_type ORDER BY ts
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sid
+              FROM flagged
+            )
+            SELECT event_type, min(ts) AS session_start, count(*) AS cnt,
+                   CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+            FROM sess GROUP BY event_type, sid
+            ORDER BY event_type, session_start
         """,
         "ann_cosine_topk": """
             WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
