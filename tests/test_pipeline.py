@@ -332,3 +332,26 @@ def test_connected_components_raises_without_convergence(spark):
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(pairs, max_iterations=1)
+
+
+def test_dedup_recall_on_driver_documents(spark):
+    """Recall >= 0.99 on the driver-provided documents table (sf0.001) vs
+    brute-force all-pairs minimizer Jaccard at the same config."""
+    import __spark_entry__ as entry_mod
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    cfg_sketch = entry_mod._SKETCH
+    res = run_dedup(
+        spark, entry_mod._docs_as_transcripts(docs),
+        DedupConfig(sketch=cfg_sketch, jaccard_threshold=THETA),
+    )
+    texts = {str(r["doc_id"]): r["text"] for r in docs.collect()}
+    truth_same_cluster, _ = brute_force_clusters(texts, cfg_sketch, THETA)
+    ours = {r["conv_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    our_pairs = {
+        (a, b) for a, b in itertools.combinations(sorted(texts), 2)
+        if ours[a] == ours[b]
+    }
+    assert truth_same_cluster, "documents fixture must contain duplicates"
+    recall = len(our_pairs & truth_same_cluster) / len(truth_same_cluster)
+    assert recall >= 0.99, f"documents recall {recall:.4f}"
