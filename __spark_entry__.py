@@ -561,7 +561,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "a3_duplicate_count": """
             WITH per AS (SELECT o_custkey, count(*) AS c FROM orders GROUP BY o_custkey)
-            SELECT sum(c - 1) AS n_dups, count(*) AS n_keys FROM per
+            SELECT CAST(sum(c - 1) AS BIGINT) AS n_dups, count(*) AS n_keys FROM per
         """,
         "a5_histogram": """
             WITH b AS (SELECT CAST(floor((l_quantity + 2.5) / 5.0) AS BIGINT) AS bucket FROM lineitem)
@@ -615,7 +615,7 @@ def oracle_sql() -> dict[str, str]:
         """,
         "token_count": """
             WITH t AS (SELECT lang, len(string_split(text, ' ')) AS toks FROM documents)
-            SELECT lang, sum(toks) AS total_tokens, count(*) AS n_docs, max(toks) AS max_tokens
+            SELECT lang, CAST(sum(toks) AS BIGINT) AS total_tokens, count(*) AS n_docs, max(toks) AS max_tokens
             FROM t GROUP BY lang ORDER BY lang
         """,
         "bpe_token_count": r"""
@@ -624,7 +624,7 @@ def oracle_sql() -> dict[str, str]:
                      len(regexp_extract_all(text, '[A-Za-z0-9]+|[^A-Za-z0-9\s]+')) AS toks
               FROM documents
             )
-            SELECT lang, sum(toks) AS total_tokens,
+            SELECT lang, CAST(sum(toks) AS BIGINT) AS total_tokens,
                    round(avg(toks), 6) AS avg_tokens, count(*) AS n_docs
             FROM t GROUP BY lang ORDER BY lang
         """,
@@ -735,7 +735,7 @@ def oracle_sql() -> dict[str, str]:
                           ELSE 'fr' END AS lang_pred
               FROM h
             )
-            SELECT lang_pred, count(*) AS n_docs, sum(hits) AS total_hits,
+            SELECT lang_pred, count(*) AS n_docs, CAST(sum(hits) AS BIGINT) AS total_hits,
                    max(n_words) AS max_words
             FROM p GROUP BY lang_pred ORDER BY lang_pred
         """,
