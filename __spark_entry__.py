@@ -457,6 +457,25 @@ def q_embedding_neardup(spark, sf):
     )
 
 
+def q_embedding_neardup_lsh(spark, sf):
+    """Embedding near-dup pairs via seeded random-hyperplane LSH + exact
+    cosine verify (operators/ann.py:embedding_neardup_pairs) — the SCALE path
+    the crossJoin query above oracles: bucketed candidates, never all-pairs.
+    Same oracle SQL; recall >= 0.95 vs brute force is pytest-verified on
+    planted near-dups (tests/test_ann.py)."""
+    from minimizer_jaccard_estimator_spark.operators.ann import embedding_neardup_pairs
+
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    # operator threshold sits just below the oracle's ROUNDED >= 0.99 cut so
+    # boundary pairs (exact 0.98995..0.99) survive to the rounded filter
+    pairs = embedding_neardup_pairs(emb, threshold=0.9899)
+    return (
+        pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
+        .where(F.col("cosine") >= 0.99)
+        .orderBy("id_a", "id_b")
+    )
+
+
 def q_media_digest(spark, sf):
     """Multimodal plumbing: documents-as-binary media with typed kind and
     content digest (decode itself is stubbed; the binary column, schema and
@@ -536,6 +555,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ann_ivf_topk": q_ann_ivf_topk,
         "lang_id": q_lang_id,
         "embedding_neardup": q_embedding_neardup,
+        "embedding_neardup_lsh": q_embedding_neardup_lsh,
         "media_digest": q_media_digest,
         "media_neardup": q_media_neardup,
         "substring_dup_spans": q_substring_dup_spans,
@@ -674,6 +694,9 @@ def oracle_sql() -> dict[str, str]:
             ),
             flagged AS (
               SELECT event_type, ts, value,
+                     -- strict > matches Spark session_window semantics: an
+                     -- event at EXACTLY prev_ts+gap still merges (verified
+                     -- and pinned by test_session_window_exact_gap_boundary)
                      CASE WHEN prev_ts IS NULL
                                OR ts - prev_ts > INTERVAL 30 MINUTE THEN 1
                           ELSE 0 END AS new_session
@@ -738,6 +761,20 @@ def oracle_sql() -> dict[str, str]:
             SELECT lang_pred, count(*) AS n_docs, CAST(sum(hits) AS BIGINT) AS total_hits,
                    max(n_words) AS max_words
             FROM p GROUP BY lang_pred ORDER BY lang_pred
+        """,
+        "embedding_neardup_lsh": """
+            WITH e AS (
+              SELECT vec_id,
+                     list_transform(CAST(embedding AS DOUBLE[]),
+                                    x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
+                                                                   CAST(embedding AS DOUBLE[])))) AS u
+              FROM embeddings
+            )
+            SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+                   round(list_dot_product(a.u, b.u), 4) AS cosine
+            FROM e a JOIN e b ON a.vec_id < b.vec_id
+            WHERE round(list_dot_product(a.u, b.u), 4) >= 0.99
+            ORDER BY id_a, id_b
         """,
         "embedding_neardup": """
             WITH e AS (

@@ -218,9 +218,66 @@ def _script_c_weight(w: int, s: np.ndarray, cal, car, cbl, cbr) -> np.ndarray:
     return weight
 
 
-def jaccard_correction(hash_a: np.ndarray, hash_b: np.ndarray, w: int) -> CorrectionResult:
+def _g_func(w: int, s: np.ndarray, alpha: np.ndarray | int, beta: int) -> np.ndarray:
+    """Manuscript g(s, alpha, beta) — frozen v0.4 snapshot
+    ``jaccard_correction_test_v_0_4.py:679-689``:
+    g = (s - alpha) / prod_{i=0..beta} (2w - s + i)."""
+    g = np.asarray(s - alpha, dtype=np.float64)
+    for i in range(beta + 1):
+        g = g / (2 * w - s + i)
+    return g
+
+
+def _script_c_weight_v04(
+    w: int, s: np.ndarray, cal, car, cbl, cbr, omit_0_3_0_term: bool = False
+) -> np.ndarray:
+    """Per-(s, config) scriptC weight for the v0.4 manuscript formulas
+    (``jaccard_correction_test_v_0_4.py:447-472``).
+
+    Unlike the v0.6 table, the v0.4 terms OVERLAP — a single configuration
+    can be counted by several terms (e.g. (0,0,0,0) receives the
+    (cal,0,cbl,0), nOmega[0] terms) — so the weight is a SUM over the
+    matching terms.  ``omit_0_3_0_term=True`` reproduces the reference's
+    ``--debug=0.3.0`` toggle (the term left out of an earlier manuscript,
+    ``:467-470``)."""
+    weight = np.zeros(s.shape[0], dtype=np.float64)
+    is_ = lambda a, b, c, d: (cal == a) & (car == b) & (cbl == c) & (cbr == d)  # noqa: E731
+    weight += np.where(is_(0, 2, 0, 2), _g_func(w, s, 0, 1), 0.0)
+    weight += np.where(is_(2, 2, 2, 2), 2 * _g_func(w, s, 0, 2), 0.0)
+    weight += np.where(is_(2, 1, 2, 1), 2 * _g_func(w, s, 2, 2), 0.0)
+    # sum over (cal,cbl) of N[s][(cal,0,cbl,0)] * g(w,s,s-1,0)
+    weight += np.where((car == 0) & (cbr == 0), _g_func(w, s, s - 1, 0), 0.0)
+    # sum over cal in {0,2} of N[s][(cal,car,cbl,1)] * g(w,s,s-1,1)
+    weight += np.where(((cal == 0) | (cal == 2)) & (cbr == 1), _g_func(w, s, s - 1, 1), 0.0)
+    # sum over cbl in {0,2} of N[s][(cal,1,cbl,cbr)] * g(w,s,s-1,1)
+    weight += np.where((car == 1) & ((cbl == 0) | (cbl == 2)), _g_func(w, s, s - 1, 1), 0.0)
+    if not omit_0_3_0_term:
+        weight += np.where(is_(0, 1, 0, 1), _g_func(w, s, 2, 1), 0.0)
+    # nOmega[t] = sum over (car,cbr) in {(1,2),(2,1),(0,0)} of N[s][(t,car,t,cbr)]
+    omega_rc = ((car == 1) & (cbr == 2)) | ((car == 2) & (cbr == 1)) | ((car == 0) & (cbr == 0))
+    weight += np.where(omega_rc & (cal == 0) & (cbl == 0), _g_func(w, s, 1, 1), 0.0)
+    weight += np.where(omega_rc & (cal == 2) & (cbl == 2), 2 * _g_func(w, s, 1, 2), 0.0)
+    return weight
+
+
+def jaccard_correction(
+    hash_a: np.ndarray,
+    hash_b: np.ndarray,
+    w: int,
+    version: str = "v0.6",
+    omit_0_3_0_term: bool = False,
+) -> CorrectionResult:
     """scriptD, Jd, scriptC, Bias for one pair — reference
-    ``jaccard_correction`` (``jaccard_correction_test.py:426-533``)."""
+    ``jaccard_correction`` (``jaccard_correction_test.py:426-533``).
+
+    ``version='v0.4'`` switches scriptC to the frozen v0.4 manuscript
+    formulas (``jaccard_correction_test_v_0_4.py:447-490``); everything else
+    (position maps, config counts, scriptD, Bias shape) is identical between
+    the two reference snapshots (verified by diff).  ``omit_0_3_0_term``
+    reproduces v0.4's ``--debug=0.3.0`` toggle and is only meaningful there.
+    """
+    if version not in ("v0.6", "v0.4"):
+        raise ValueError(f"unknown correction version {version!r}")
     a = np.asarray(hash_a, dtype=np.uint64)
     b = np.asarray(hash_b, dtype=np.uint64)
     a_to_b = position_map(a, b)  # raises DuplicateHashError like the reference
@@ -237,7 +294,10 @@ def jaccard_correction(hash_a: np.ndarray, hash_b: np.ndarray, w: int) -> Correc
     jaccard_from_d = float(script_d) / (2 * L - script_d)
 
     # sum per-s in ascending s to mirror the reference's accumulation order
-    weights = _script_c_weight(w, s, cal, car, cbl, cbr)
+    if version == "v0.4":
+        weights = _script_c_weight_v04(w, s, cal, car, cbl, cbr, omit_0_3_0_term)
+    else:
+        weights = _script_c_weight(w, s, cal, car, cbl, cbr)
     script_c = 0.0
     for s_val in np.unique(s):
         m = s == s_val

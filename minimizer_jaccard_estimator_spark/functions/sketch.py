@@ -56,6 +56,10 @@ class SketchConfig:
     lsh_bands: int = 32
     # SimHash
     simhash_seed: int = 0x5117B6A5
+    # minimizer POSITIONS are a parity/debug artifact (the dedup engine
+    # compares minimizer VALUE sets only); skipping them cuts the sketch
+    # UDF's Arrow output ~25% on typical transcripts
+    include_positions: bool = True
 
     @property
     def lsh_rows(self) -> int:
@@ -165,16 +169,26 @@ def signature_udf(cfg: SketchConfig):
 FULL_FIELDS = StructType(SKETCH_FIELDS.fields + SIG_FIELDS.fields)
 
 
+def _full_fields(cfg: SketchConfig) -> StructType:
+    fields = SKETCH_FIELDS.fields + SIG_FIELDS.fields
+    if not cfg.include_positions:
+        fields = [f for f in fields if f.name != "positions"]
+    return StructType(fields)
+
+
 def full_sketch_udf(cfg: SketchConfig):
-    """text -> struct(minimizers, positions, n_shingles, n_dups, minhash,
+    """text -> struct(minimizers, [positions], n_shingles, n_dups, minhash,
     simhash) in ONE shingle pass — the dedup pipeline hot path.
 
     Fingerprints are computed once per document; the (w,k) winnow, the
     seed-matrix MinHash (vectorized across all num_perm seeds), and SimHash
     all reuse them.  Semantically identical to sketch_udf + signature_udf
     composed (equality is tested), at roughly half the Python cost.
+    ``cfg.include_positions=False`` drops the positions array from the
+    output (parity/debug only; unused by dedup).
     """
     seeds = cfg.seeds()
+    with_pos = cfg.include_positions
 
     def run(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in batches:
@@ -193,32 +207,35 @@ def full_sketch_udf(cfg: SketchConfig):
                     h = fp
                 v, p = K.winnow_minimizers(h, cfg.w)
                 minis.append(K.u64_to_i64(v))
-                poss.append(p.astype(np.int32))
+                if with_pos:
+                    poss.append(p.astype(np.int32))
                 n_sh.append(h.shape[0])
                 n_dup.append(K.count_hash_duplicates(h))
                 sig = cfg.minhash(fp, seeds)
                 sigs.append(K.u64_to_i64(sig))
                 sh = K.simhash64(fp, cfg.simhash_seed, cfg.hash_type)
                 sims.append(sh - (1 << 64) if sh >= (1 << 63) else sh)
-            yield pd.DataFrame(
+            cols = {"minimizers": minis}
+            if with_pos:
+                cols["positions"] = poss
+            cols.update(
                 {
-                    "minimizers": minis,
-                    "positions": poss,
                     "n_shingles": np.array(n_sh, dtype=np.int64),
                     "n_dups": np.array(n_dup, dtype=np.int64),
                     "minhash": sigs,
                     "simhash": np.array(sims, dtype=np.int64),
                 }
             )
+            yield pd.DataFrame(cols)
 
-    return F.pandas_udf(run, FULL_FIELDS)
+    return F.pandas_udf(run, _full_fields(cfg))
 
 
 def add_full_sketch(df: DataFrame, cfg: SketchConfig, text_col: str = "text") -> DataFrame:
     s = full_sketch_udf(cfg)(F.col(text_col)).alias("_sk")
     return df.select("*", s).select(
         *df.columns,
-        *[F.col(f"_sk.{f.name}").alias(f.name) for f in FULL_FIELDS.fields],
+        *[F.col(f"_sk.{f.name}").alias(f.name) for f in _full_fields(cfg).fields],
     )
 
 

@@ -557,8 +557,11 @@ def simhash64(fingerprints: np.ndarray, seed: int = 0, hash_type: str = "splitmi
     h = apply_hash(hash_type, seed, fp, 32)
     # little-endian unpack: bit j of byte b == bit (8b + j) of the uint64, so
     # column c of `bits` is bit c — identical to ((h >> c) & 1) but ~3x less
-    # memory traffic than the shift-matrix form
-    bits = np.unpackbits(h.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
+    # memory traffic than the shift-matrix form.  The byte view assumes
+    # little-endian layout; force it so persisted sketches stay identical on
+    # a big-endian host (astype is a no-op copy-free view on LE machines)
+    h_le = h.astype("<u8", copy=False)
+    bits = np.unpackbits(h_le.view(np.uint8).reshape(-1, 8), axis=1, bitorder="little")
     votes = bits.sum(axis=0, dtype=np.int64) * 2 - h.shape[0]  # +1 set, -1 clear
     weights = U64(1) << np.arange(64, dtype=np.uint64)
     return int((weights * (votes > 0).astype(np.uint64)).sum())

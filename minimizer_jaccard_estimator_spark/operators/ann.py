@@ -1,6 +1,6 @@
-"""Approximate nearest-neighbor search over embedding columns.
+"""Approximate nearest-neighbor search + near-dup pairs over embedding columns.
 
-Two paths over an ``(vec_id long, embedding array<float>)`` table:
+Three paths over an ``(vec_id long, embedding array<float>)`` table:
 
 - **brute force** (the oracle): exact cosine top-k via JVM higher-order
   array functions — correct at any scale that can afford a full scan
@@ -12,15 +12,25 @@ Two paths over an ``(vec_id long, embedding array<float>)`` table:
   touches ~nprobe/n_cells of the corpus.  At cluster scale the assignment
   table is written partitioned by ``cell`` so probes become partition-pruned
   scans.
+- **random-hyperplane LSH near-dup** (the all-pairs scale path): seeded
+  Gaussian hyperplanes sign-hash each vector into ``n_tables`` bucket keys
+  (one Arrow matmul per batch); candidate pairs come from ONE
+  ``groupBy(bucket)`` with in-JVM pair expansion (never a crossJoin), and an
+  exact JVM-side cosine verifies every candidate.  Recall at threshold θ is
+  ``1-(1-p^n_planes)^n_tables`` with ``p = 1 - arccos(θ)/π`` — the defaults
+  give ≥0.99 at θ=0.99 (recall-tested vs brute force on planted near-dups).
 """
 
 from __future__ import annotations
 
+from collections.abc import Iterator
 from dataclasses import dataclass
 
 import numpy as np
+import pandas as pd
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame
+from pyspark.sql.types import ArrayType, LongType
 
 
 def _cosine(v_col: str, q: list[float]):
@@ -72,6 +82,90 @@ def build_ivf(
     assigned = model.transform(feats).select(id_col, vec_col, "cell")
     centroids = np.array([np.asarray(c) for c in model.clusterCenters()], dtype=np.float64)
     return IvfIndex(centroids=centroids, assignments=assigned)
+
+
+def _hyperplane_bucket_udf(dim: int, n_planes: int, n_tables: int, seed: int):
+    """vec -> array<long> of n_tables bucket keys: sign-bit pattern of the
+    vector against table-specific seeded Gaussian hyperplanes, packed into an
+    int (bucket key = table_idx * 2^n_planes + bits so tables never collide).
+    One numpy matmul per Arrow batch — no per-row Python."""
+    rng = np.random.default_rng(seed)
+    # (dim, n_tables*n_planes) — real Gaussian hyperplanes, not a sign
+    # heuristic: the collision probability argument needs spherical symmetry
+    planes = rng.standard_normal((dim, n_tables * n_planes))
+    weights = (1 << np.arange(n_planes, dtype=np.int64))
+
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for vecs in batches:
+            m = np.array(vecs.tolist(), dtype=np.float64)  # (batch, dim)
+            if m.size == 0:
+                yield pd.Series([], dtype=object)
+                continue
+            bits = (m @ planes) > 0  # (batch, tables*planes)
+            bits = bits.reshape(m.shape[0], n_tables, n_planes)
+            keys = bits @ weights  # (batch, n_tables)
+            keys += (np.arange(n_tables, dtype=np.int64) << np.int64(n_planes))[None, :]
+            yield pd.Series(list(keys))
+
+    return F.pandas_udf(run, ArrayType(LongType()))
+
+
+def embedding_neardup_pairs(
+    emb: DataFrame,
+    threshold: float = 0.99,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
+    max_bucket_size: int | None = 1000,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Near-duplicate embedding pairs (id_a < id_b, cosine >= threshold)
+    WITHOUT an all-pairs join — the scale path the crossJoin oracle verifies.
+
+    Stages: normalize -> hyperplane bucket keys (Arrow matmul) -> explode
+    table keys -> ONE groupBy(bucket) with bounded in-JVM pair expansion
+    (same shape as the text LSH) -> exact cosine verify on the joined unit
+    vectors.  Defaults give recall ≈ 1-(1-0.955^12)^8 ≈ 0.999 at θ=0.99;
+    ``max_bucket_size`` bounds degenerate buckets (e.g. the all-zero
+    direction) explicitly.
+    """
+    dim = len(emb.select(vec_col).first()[0])
+    v = F.col(vec_col).cast("array<double>")
+    norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
+                              lambda s, x: s + x))
+    unit = emb.select(
+        F.col(id_col),
+        F.transform(v, lambda x: x / norm).alias("_u"),
+    )
+    keys = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)(F.col("_u"))
+    b = unit.select(id_col, F.explode(keys).alias("bucket"))
+
+    buckets = (
+        b.groupBy("bucket").agg(F.collect_list(id_col).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
+    if max_bucket_size is not None:
+        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
+    pairs = (
+        buckets.select(F.col("_ids"), F.posexplode("_ids").alias("_i", "_a"))
+        .select(
+            F.col("_a"),
+            F.explode(F.slice(F.col("_ids"), F.col("_i") + F.lit(2),
+                              F.size("_ids"))).alias("_b"),
+        )
+        .select(F.least("_a", "_b").alias("id_a"), F.greatest("_a", "_b").alias("id_b"))
+        .distinct()
+    )
+    ua = unit.select(F.col(id_col).alias("id_a"), F.col("_u").alias("_ua"))
+    ub = unit.select(F.col(id_col).alias("id_b"), F.col("_u").alias("_ub"))
+    dot = F.aggregate(F.zip_with("_ua", "_ub", lambda x, y: x * y), F.lit(0.0),
+                      lambda s, x: s + x)
+    return (
+        pairs.join(ua, "id_a").join(ub, "id_b")
+        .select("id_a", "id_b", dot.alias("cosine"))
+        .where(F.col("cosine") >= F.lit(threshold))
+    )
 
 
 def ivf_topk(

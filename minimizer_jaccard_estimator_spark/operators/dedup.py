@@ -13,7 +13,7 @@ same (k, w, hash, seed) config; LSH/CC are the scale layers the reference
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -45,11 +45,12 @@ class DedupConfig:
     # expensive stage (measured ~1.8x on the sketch stage at local[32])
     rebalance_sketch: bool = True
     # staged verify: MinHash-agreement prefilter (~1KB/doc shuffled) before
-    # the exact minimizer-set verify (~10KB/doc) — recall-safe margin below
-    # the accept threshold (>4 sigma at num_perm=128); final accepts are
-    # always exact either way
+    # the exact minimizer-set verify (~10KB/doc).  APPROXIMATE: the margin
+    # budgets ~4 sigma of sampling noise (0.18 at num_perm=128) plus ~0.07
+    # for the minimizer estimator's positive bias vs the shingle Jaccard
+    # (see verify.py docstring); final accepts are always exact either way
     staged_verify: bool = False
-    staged_verify_margin: float = 0.2
+    staged_verify_margin: float = 0.25
 
 
 @dataclass
@@ -60,6 +61,16 @@ class DedupResult:
     verified: DataFrame
     clusters: DataFrame
     spans: DataFrame | None = None  # suffix-array pass output (if enabled)
+    # internal persists still live after an in-memory (store-less) run; call
+    # release() when done with the result to return executor storage memory
+    _caches: list[DataFrame] | None = None
+
+    def release(self) -> None:
+        for df in self._caches or []:
+            df.unpersist()
+        for df in (self.conv_text, self.sketches):
+            df.unpersist()
+        self._caches = []
 
 
 def run_dedup(
@@ -82,6 +93,12 @@ def run_dedup(
         conv_text = store.load(spark, "conv_text")
     else:
         conv_text = store.materialize(spark, "conv_text", assemble_conversations(turns))
+    if store.root is None:
+        # in-memory runs: without the persist every downstream stage that
+        # touches conv_text (sketch src, exact-dup digests in BOTH the
+        # candidates and clusters stages, the final id join) re-executes the
+        # full assembly shuffle — measured ~40% of e2e wall at local[32]
+        conv_text = conv_text.persist()
 
     # -- sketches + signatures (the Arrow-UDF hot path; one pass over docs)
     if store.exists("sketches"):
@@ -90,21 +107,29 @@ def run_dedup(
         src = conv_text.select("conv_id", "text")
         if cfg.rebalance_sketch:
             src = src.repartition(spark.sparkContext.defaultParallelism * 2)
-        sk = add_full_sketch(src, cfg.sketch).drop("text")
+        # positions are parity/debug-only; dedup compares minimizer VALUE
+        # sets (verify.py), so don't pay their Arrow/cache/shuffle weight
+        sk_cfg = replace(cfg.sketch, include_positions=False)
+        sk = add_full_sketch(src, sk_cfg).drop("text")
         sketches = store.materialize(spark, "sketches", sk)
     if store.root is None:
         sketches = sketches.persist()
 
     # -- candidates: exact-dup fast path ∪ LSH band buckets
+    # exact is needed again in the clusters stage (short-text dup bypass);
+    # persist so the digest groupBy runs once, and register internal LSH
+    # caches for release once the pipeline's outputs are materialized
+    exact = exact_dup_pairs(conv_text).persist()
+    caches: list[DataFrame] = [exact]
     if store.exists("candidates"):
         candidates = store.load(spark, "candidates")
     else:
-        exact = exact_dup_pairs(conv_text)
         want_dropped = store.root is not None and cfg.max_bucket_size is not None
         lsh = lsh_candidate_pairs(
             sketches.select("conv_id", "minhash"), cfg.sketch,
             max_bucket_size=cfg.max_bucket_size,
             with_dropped=want_dropped,
+            cache_registry=caches,
         )
         if want_dropped:
             # no silent caps: record exactly which hot buckets were excluded
@@ -163,7 +188,7 @@ def run_dedup(
         # exact-digest pairs are provably identical texts and bypass the
         # Jaccard threshold: texts shorter than k have EMPTY minimizer sets
         # (j_mini = 0), which must not unlink byte-identical duplicates
-        accepted = accepted.union(exact_dup_pairs(conv_text)).distinct()
+        accepted = accepted.union(exact).distinct()
         if spans is not None:
             accepted = accepted.union(
                 substring_dup_pairs(spans, cfg.substring_min_cov)
@@ -177,4 +202,13 @@ def run_dedup(
         clusters = store.materialize(spark, "clusters", clusters)
 
     store.write_metrics(spark)
-    return DedupResult(conv_text, sketches, candidates, verified, clusters, spans)
+    if store.root is not None:
+        # every stage table is already materialized on disk: the internal
+        # caches have served their one-pass purpose (ADVICE: don't pin
+        # storage memory across jobs in a long-lived session)
+        for df in caches:
+            df.unpersist()
+        conv_text.unpersist()
+        caches = []
+    return DedupResult(conv_text, sketches, candidates, verified, clusters, spans,
+                       _caches=caches)

@@ -24,7 +24,7 @@ run plus one corpus-wide band-table scan.
 
 from __future__ import annotations
 
-from dataclasses import dataclass
+from dataclasses import dataclass, replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -45,6 +45,14 @@ class DeltaResult:
     candidates: DataFrame
     verified: DataFrame
     clusters: DataFrame  # FULL updated assignment (old + new conv_ids)
+    _caches: list[DataFrame] | None = None
+
+    def release(self) -> None:
+        """Unpersist internal caches (call when done with the result —
+        long-lived sessions must not pin executor storage memory)."""
+        for df in self._caches or []:
+            df.unpersist()
+        self._caches = []
 
 
 def run_dedup_delta(
@@ -52,10 +60,21 @@ def run_dedup_delta(
     new_transcripts: DataFrame,
     cfg: DedupConfig,
     store: StageStore,
+    commit: bool = False,
 ) -> DeltaResult:
     """Dedup ``new_transcripts`` against the corpus checkpointed in ``store``
     (must hold completed conv_text, sketches, and clusters stages from a
-    prior run at the SAME sketch config)."""
+    prior run at the SAME sketch config).
+
+    ``commit=True`` folds the results back into the store — appends the new
+    conv_text/sketches rows and atomically replaces the clusters stage with
+    the updated assignment — so repeated daily deltas each dedup against the
+    FULL corpus including earlier deltas (and the conv_id-overlap guard sees
+    them).  Without commit the store is untouched: the result is a
+    read-only what-if, and a SECOND delta against the same store would
+    silently miss new-vs-prior-delta duplicates — hence commit is the mode
+    for production ingestion loops.
+    """
     if cfg.simhash_max_hamming is not None or cfg.substring_min_len is not None:
         # these would make delta results diverge from a full recompute at
         # the same config — refuse loudly rather than silently dropping them
@@ -84,7 +103,12 @@ def run_dedup_delta(
     src = new_conv.select("conv_id", "text")
     if cfg.rebalance_sketch:
         src = src.repartition(spark.sparkContext.defaultParallelism * 2)
-    new_sk = add_full_sketch(src, cfg.sketch).drop("text").persist()
+    # match the prior run's sketches-stage schema exactly (run_dedup omits
+    # the parity-only positions column) so committed delta rows append
+    # cleanly onto the existing sketches table
+    sk_cfg = replace(cfg.sketch, include_positions="positions" in old_sk.columns)
+    new_sk = add_full_sketch(src, sk_cfg).drop("text").persist()
+    caches: list[DataFrame] = [new_sk]
 
     sk_cols = ["conv_id", "minimizers", "n_shingles", "minhash", "simhash"]
     all_sk = old_sk.select(*sk_cols).union(new_sk.select(*sk_cols))
@@ -122,6 +146,7 @@ def run_dedup_delta(
     ab = band_hashes(all_sk.select("conv_id", "minhash"), cfg.sketch)
     if cfg.max_bucket_size is not None:
         sizes = ab.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n")).persist()
+        caches.append(sizes)
         # no silent caps: record the excluded hot buckets like run_dedup does
         store.materialize(
             spark, "delta_lsh_dropped_buckets",
@@ -166,4 +191,26 @@ def run_dedup_delta(
         all_ids.join(comp, "conv_id", "left")
         .select("conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id"))
     )
-    return DeltaResult(new_conv, new_sk, candidates, verified, clusters)
+    if commit:
+        import shutil
+
+        # append the delta rows to the corpus stages (schemas matched above)
+        new_conv.select(*old_conv.columns).write.mode("append") \
+            .format(store.format).save(store.path("conv_text"))
+        new_sk.select(*old_sk.columns).write.mode("append") \
+            .format(store.format).save(store.path("sketches"))
+        # clusters is a full REPLACEMENT whose plan reads the old clusters
+        # path — write to a side path first, then swap (never overwrite a
+        # table a pending plan still scans)
+        pending = store.path("clusters__pending")
+        clusters.write.mode("overwrite").format(store.format).save(pending)
+        shutil.rmtree(store.path("clusters"))
+        shutil.move(pending, store.path("clusters"))
+        clusters = store.load(spark, "clusters")
+        # everything is on disk now; release the internal caches (ADVICE:
+        # don't pin storage memory across jobs in a long-lived session)
+        for df in caches:
+            df.unpersist()
+        caches = []
+    return DeltaResult(new_conv, new_sk, candidates, verified, clusters,
+                       _caches=caches)

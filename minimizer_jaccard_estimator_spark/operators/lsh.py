@@ -9,11 +9,13 @@ Scale notes:
 - band hashes are computed JVM-side (``transform`` + ``xxhash64`` over array
   slices) — the exploded rows carry only (id, band_id, band_hash), never the
   full signature, so the band shuffle is ~24 bytes/row * bands.
-- the within-bucket self-join is an equi-join on (band_id, band_hash);
-  AQE skew-join splitting handles hot buckets, and ``max_bucket_size``
-  drops degenerate buckets (e.g. thousands of identical boilerplate docs)
-  with an explicit log instead of a silent quadratic blow-up — exact dups
-  are still caught by the exact-dedup fast path.
+- candidate generation is ONE shuffle: ``groupBy(band_id, band_hash)`` with
+  a bounded ``collect_list``, then map-side JVM pair expansion — never a
+  band-table self-join (which would ship the widest intermediate three more
+  times).  ``max_bucket_size`` bounds both the per-bucket list memory and
+  the quadratic pair expansion, dropping degenerate buckets (thousands of
+  identical boilerplate docs) with an explicit lineage table instead of a
+  silent blow-up — exact dups are still caught by the exact-dedup fast path.
 """
 
 from __future__ import annotations
@@ -42,35 +44,58 @@ def lsh_candidate_pairs(
     id_col: str = "conv_id",
     max_bucket_size: int | None = 1000,
     with_dropped: bool = False,
+    cache_registry: list | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
 
+    One shuffle total: the band table groups into buckets
+    (``groupBy(band_id, band_hash).collect_list(id)``) and the within-bucket
+    pair expansion happens map-side in JVM expressions (double posexplode /
+    slice — never a self-join).  The earlier self-join formulation shuffled
+    the band table three more times (size agg + both join sides); at 100TB
+    the band table is the pipeline's widest intermediate, so shipping it
+    once is the difference that matters.  Per-bucket state is bounded by
+    ``max_bucket_size`` ids (the cap both bounds the quadratic expansion and
+    the collect_list memory).
+
     ``with_dropped=True`` additionally returns the (band_id, band_hash,
-    n_docs) buckets the cap excluded, derived from the SAME bucket-size
-    aggregate (persisted, one pass — no silent caps, no recompute)."""
+    n_docs) buckets the cap excluded — computed in the SAME aggregation (no
+    silent caps, no recompute).  When it is used, the bucket aggregate is
+    persisted and appended to ``cache_registry`` (when given) so the caller
+    can unpersist it once both outputs are materialized."""
     b = band_hashes(signatures, cfg, id_col)
+    buckets = (
+        b.groupBy("band_id", "band_hash")
+        .agg(F.collect_list(id_col).alias("_ids"))
+        .where(F.size("_ids") >= 2)
+    )
     dropped = None
     if max_bucket_size is not None:
-        sizes = b.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n"))
         if with_dropped:
-            sizes = sizes.persist()
-            dropped = sizes.where(F.col("_n") > max_bucket_size).select(
-                "band_id", "band_hash", F.col("_n").alias("n_docs")
+            buckets = buckets.persist()
+            if cache_registry is not None:
+                cache_registry.append(buckets)
+            dropped = buckets.where(F.size("_ids") > max_bucket_size).select(
+                "band_id", "band_hash", F.size("_ids").cast("long").alias("n_docs")
             )
-        b = (
-            b.join(sizes.where(F.col("_n") <= max_bucket_size).drop("_n").hint("shuffle_hash"),
-                   ["band_id", "band_hash"])
-        )
+        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
     elif with_dropped:
         dropped = signatures.sparkSession.createDataFrame(
             [], "band_id int, band_hash long, n_docs long"
         )
-    left = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_a"))
-    right = b.select(F.col("band_id"), F.col("band_hash"), F.col(id_col).alias("id_b"))
+    # all (i < j) position pairs of each bucket, JVM-side, no join:
+    # posexplode picks the left element, slice takes everything after it
     pairs = (
-        left.join(right, ["band_id", "band_hash"])
-        .where(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b")
+        buckets.select(F.col("_ids"), F.posexplode("_ids").alias("_i", "_a"))
+        .select(
+            F.col("_a"),
+            F.explode(F.slice(F.col("_ids"), F.col("_i") + F.lit(2),
+                              F.size("_ids"))).alias("_b"),
+        )
+        .select(
+            F.least("_a", "_b").alias("id_a"),
+            F.greatest("_a", "_b").alias("id_b"),
+        )
         .distinct()
     )
     if with_dropped:

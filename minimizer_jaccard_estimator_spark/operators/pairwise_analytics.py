@@ -67,7 +67,8 @@ REPORT_SCHEMA = StructType(
 
 
 def _score_pair(name_a: str, text_a: str, name_b: str, text_b: str,
-                cfg: SketchConfig, seeds: np.ndarray, compute_correction: bool) -> tuple:
+                cfg: SketchConfig, seeds: np.ndarray, compute_correction: bool,
+                version: str = "v0.6", omit_0_3_0_term: bool = False) -> tuple:
     fp_a = cfg.fingerprints(text_a or "")
     fp_b = cfg.fingerprints(text_b or "")
     kd = P.jaccard_exact(fp_a, fp_b)
@@ -96,7 +97,8 @@ def _score_pair(name_a: str, text_a: str, name_b: str, text_b: str,
         try:
             ha = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_a, mask_k)
             hb = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_b, mask_k)
-            cd = C.jaccard_correction(ha, hb, cfg.w)
+            cd = C.jaccard_correction(ha, hb, cfg.w, version=version,
+                                      omit_0_3_0_term=omit_0_3_0_term)
             script_d = cd.script_d
             jaccard_from_d = cd.jaccard_from_d
             script_c = cd.script_c
@@ -119,12 +121,17 @@ def pairwise_report(
     pairs: DataFrame,
     cfg: SketchConfig,
     correction: str = "auto",
+    correction_version: str = "v0.6",
+    omit_0_3_0_term: bool = False,
 ) -> DataFrame:
     """Score (name_a, text_a, name_b, text_b) pair rows.
 
     ``correction='auto'`` computes D/Jd/C/Bias when the hash is invertible
     (minimap2/splitmix64 — reference gate at ``jaccard_correction_test.py:429-432``)
     and the pair is duplicate-free; ``'off'`` skips it (NULL columns).
+    ``correction_version='v0.4'`` uses the frozen v0.4 manuscript scriptC
+    (``jaccard_correction_test_v_0_4.py``); ``omit_0_3_0_term`` is that
+    snapshot's ``--debug=0.3.0`` regression toggle.
     """
     seeds = cfg.seeds()
     compute_corr = correction == "auto" and K.hash_is_invertible(cfg.hash_type)
@@ -133,13 +140,121 @@ def pairwise_report(
         for pdf in batches:
             rows = [
                 _score_pair(r.name_a, r.text_a, r.name_b, r.text_b,
-                            cfg, seeds, compute_corr)
+                            cfg, seeds, compute_corr,
+                            correction_version, omit_0_3_0_term)
                 for r in pdf.itertuples(index=False)
             ]
             yield pd.DataFrame(rows, columns=[f.name for f in REPORT_SCHEMA.fields])
 
     cols = ["name_a", "text_a", "name_b", "text_b"]
     return pairs.select(*cols).mapInPandas(run, schema=REPORT_SCHEMA)
+
+
+# the 17 configurations the reference's --report:configs emits
+# (``jaccard_correction_test.py:271-279``); everything else provably never
+# occurs (or is the subtraction-deduced dominant bucket)
+VIABLE_CONFIGURATIONS = [
+    (0, 0, 0, 0), (0, 1, 0, 1), (0, 1, 0, 2), (0, 2, 0, 1), (0, 2, 0, 2),
+    (2, 0, 2, 0), (2, 1, 2, 1), (2, 1, 2, 2), (2, 2, 2, 1), (2, 2, 2, 2),
+    (2, 1, 1, 1), (2, 2, 1, 1), (1, 1, 2, 1), (1, 1, 2, 2), (1, 0, 1, 0),
+    (1, 0, 2, 0), (2, 0, 1, 0),
+]
+
+CONFIG_SCHEMA = StructType(
+    [
+        StructField("name_a", StringType()),
+        StructField("name_b", StringType()),
+        StructField("s", IntegerType()),
+        StructField("cal", IntegerType()),
+        StructField("car", IntegerType()),
+        StructField("cbl", IntegerType()),
+        StructField("cbr", IntegerType()),
+        StructField("n", LongType()),
+    ]
+)
+
+
+def config_report(pairs: DataFrame, cfg: SketchConfig, sparse: bool = True) -> DataFrame:
+    """Per-pair configuration-count tensor as LONG rows — the reference's
+    ``--report:configs`` surface (``jaccard_correction_test.py:256-282,
+    371-413``: 17 viable configs x (w+1) s-columns) re-expressed as
+    (name_a, name_b, s, cal, car, cbl, cbr, n) rows, the Spark-native shape
+    for joins/aggregation.
+
+    The rows are the FULL sparse tensor — a superset of the reference's
+    report, which computes every configuration but prints only the 17
+    VIABLE_CONFIGURATIONS its formulas consume (parity on those is tested
+    cell-for-cell).  ``sparse=True`` omits zero counts (the wide reference
+    columns are reconstructable by filling 0 over the viable set x [0, w]).
+    Pairs whose correction is undefined (duplicate hashes, unequal or empty
+    hash lengths) contribute no rows — matching the reference, which dies on
+    such pairs before printing.
+    """
+    seeds = cfg.seeds()
+    mask_k = cfg.k if cfg.mode == "dna" else 32
+    if not K.hash_is_invertible(cfg.hash_type):
+        raise ValueError(
+            "config counts need an invertible, duplicate-free hash "
+            "(reference gate, jaccard_correction_test.py:429-432)"
+        )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                fp_a = cfg.fingerprints(r.text_a or "")
+                fp_b = cfg.fingerprints(r.text_b or "")
+                if fp_a.shape[0] != fp_b.shape[0] or fp_a.shape[0] == 0:
+                    continue
+                ha = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_a, mask_k)
+                hb = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_b, mask_k)
+                try:
+                    counts = C.configuration_counts(ha, hb, cfg.w)
+                except C.DuplicateHashError:
+                    continue
+                for (s, cal, car, cbl, cbr), n in sorted(counts.items()):
+                    if sparse and n == 0:
+                        continue
+                    out.append((r.name_a, r.name_b, s, cal, car, cbl, cbr, n))
+            yield pd.DataFrame(out, columns=[f.name for f in CONFIG_SCHEMA.fields])
+
+    cols = ["name_a", "text_a", "name_b", "text_b"]
+    return pairs.select(*cols).mapInPandas(run, schema=CONFIG_SCHEMA)
+
+
+def check_duplicates(docs: DataFrame, cfg: SketchConfig,
+                     name_col: str = "name", text_col: str = "text") -> DataFrame:
+    """Corpus duplicate-freeness validation — the reference's
+    ``--debug=checkduplicates`` mode (``jaccard_correction_test.py:338-347``)
+    as a standalone operator: one row per document with the number of
+    duplicated hash positions (sum of count-1 over repeated values, reference
+    ``count_duplicates`` ``:770-778``).  ``dup_free = true`` documents are
+    eligible for the bias correction; the reference prints the same verdict
+    per pair to stderr.
+    """
+    schema = StructType(
+        [
+            StructField("name", StringType()),
+            StructField("n_hashes", LongType()),
+            StructField("n_dup_positions", LongType()),
+            StructField("dup_free", IntegerType()),
+        ]
+    )
+    seeds = cfg.seeds()
+    mask_k = cfg.k if cfg.mode == "dna" else 32
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for r in pdf.itertuples(index=False):
+                name = getattr(r, name_col)
+                fp = cfg.fingerprints(getattr(r, text_col) or "")
+                h = K.apply_hash(cfg.hash_type, int(seeds[0]), fp, mask_k) if fp.size else fp
+                n_dup = K.count_hash_duplicates(h)
+                out.append((name, int(h.shape[0]), int(n_dup), int(n_dup == 0)))
+            yield pd.DataFrame(out, columns=[f.name for f in schema.fields])
+
+    return docs.select(name_col, text_col).mapInPandas(run, schema=schema)
 
 
 def replicate_report(pairs: DataFrame, cfg: SketchConfig) -> DataFrame:

@@ -32,8 +32,11 @@ def signature_estimate(
     The cheap pre-verify: signatures are num_perm longs (~1KB) vs full
     minimizer arrays (~10x more), so estimating J from slot agreement first
     and only shipping arrays for plausible pairs cuts the verify shuffle.
-    std(j_sig) = sqrt(J(1-J)/num_perm) — at 128 perms a 0.2 margin below the
-    accept threshold is > 4 sigma, so staged filtering is recall-safe.
+    std(j_sig) = sqrt(J(1-J)/num_perm) ≈ 0.044 at 128 perms.  NOTE: j_sig
+    estimates the SHINGLE-set Jaccard while the accept test runs on the
+    minimizer-set Jaccard, which is positively biased vs the true Jaccard
+    (the very bias correction.py quantifies) — so the filter margin must
+    budget for sampling noise AND that bias; see verify_pairs_staged.
     """
     joined = attach_pair_columns(candidates, signatures, [sig_col], id_col)
     a, b = f"{sig_col}_a", f"{sig_col}_b"
@@ -60,13 +63,24 @@ def verify_pairs_staged(
     Jaccard on the survivors.  Output schema == verify_pairs (survivors
     only); final accept decisions remain exact.
 
-    The sigma bound on j_sig assumes (near-)independent signature slots;
-    densified-OPH slots are correlated when a document has few distinct
-    fingerprints (measured std ~2x the binomial bound at ~20 fingerprints).
-    Pairs where either side has fewer than ``small_doc_bypass`` shingles
-    therefore skip the prefilter and go straight to exact verification —
-    they are exactly the pairs where the prefilter saves nothing anyway.
-    Set ``small_doc_bypass=0`` to disable (safe for the seeded scheme).
+    APPROXIMATE, not provably recall-safe: the default ``margin`` (0.25 via
+    DedupConfig) budgets ~4 sigma of MinHash sampling noise (0.18 at
+    num_perm=128) PLUS an allowance for the winnowed-minimizer estimator's
+    positive bias — j_sig tracks the shingle Jaccard while the accept test
+    uses the minimizer Jaccard, which sits a few percent above it (that gap
+    is exactly what correction.py's Bias statistic measures; it grows with
+    w/L).  A borderline pair whose minimizer bias exceeds the allowance can
+    still be dropped; use plain verify_pairs when exactness of the candidate
+    set matters more than the ~10x verify-shuffle saving.
+
+    The sigma bound on j_sig also assumes (near-)independent signature
+    slots; densified-OPH slots are correlated when a document has few
+    distinct fingerprints (measured std ~2x the binomial bound at ~20
+    fingerprints).  Pairs where either side has fewer than
+    ``small_doc_bypass`` shingles therefore skip the prefilter and go
+    straight to exact verification — they are exactly the pairs where the
+    prefilter saves nothing anyway.  Set ``small_doc_bypass=0`` to disable
+    (safe for the seeded scheme).
     """
     use_bypass = bool(small_doc_bypass) and size_col in sketches.columns
     cols = [sig_col, size_col] if use_bypass else [sig_col]

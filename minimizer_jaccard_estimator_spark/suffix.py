@@ -23,19 +23,20 @@ import numpy as np
 _EMPTY_I64 = np.empty(0, dtype=np.int64)
 
 
-def suffix_array(data: np.ndarray) -> np.ndarray:
-    """Suffix array (int64 start positions in lexicographic suffix order).
+def _suffix_array_levels(data: np.ndarray) -> tuple[np.ndarray, list[tuple[int, np.ndarray]]]:
+    """Suffix array + the prefix-doubling rank snapshots that produced it.
 
-    Prefix doubling: O(n log n) rounds of numpy ``lexsort``.  ``data`` is any
-    integer array; out-of-range sentinels are fine (they just occupy a rank).
-    A shorter suffix sorts before any extension of it (rank padding is -1,
-    below every real rank).
+    Each snapshot ``(k, rank_k)`` ranks the (end-padded) length-k substring
+    at every position; two positions share a rank_k iff those substrings are
+    equal.  The snapshots power the fully-vectorized LCP computation below
+    (binary lifting) — no per-character Python loops anywhere.
     """
     data = np.asarray(data)
     n = data.shape[0]
     if n == 0:
-        return _EMPTY_I64
+        return _EMPTY_I64, []
     rank = np.unique(data, return_inverse=True)[1].astype(np.int64)
+    levels: list[tuple[int, np.ndarray]] = [(1, rank)]
     k = 1
     while True:
         second = np.full(n, -1, dtype=np.int64)
@@ -49,9 +50,50 @@ def suffix_array(data: np.ndarray) -> np.ndarray:
         new_rank = np.empty(n, dtype=np.int64)
         new_rank[order] = np.cumsum(diff)
         rank = new_rank
-        if rank[order[-1]] == n - 1:  # all ranks distinct => fully ordered
-            return order.astype(np.int64)
         k *= 2
+        levels.append((k, rank))
+        if rank[order[-1]] == n - 1:  # all ranks distinct => fully ordered
+            return order.astype(np.int64), levels
+
+
+def suffix_array(data: np.ndarray) -> np.ndarray:
+    """Suffix array (int64 start positions in lexicographic suffix order).
+
+    Prefix doubling: O(n log n) rounds of numpy ``lexsort``.  ``data`` is any
+    integer array; out-of-range sentinels are fine (they just occupy a rank).
+    A shorter suffix sorts before any extension of it (rank padding is -1,
+    below every real rank).
+    """
+    return _suffix_array_levels(data)[0]
+
+
+def _lcp_from_levels(
+    sa: np.ndarray, levels: list[tuple[int, np.ndarray]], n: int
+) -> np.ndarray:
+    """Adjacent-suffix LCP by binary lifting over the doubling snapshots —
+    vectorized replacement for Kasai (same output, O(n log n) vector ops).
+
+    Rank equality at level k implies the length-k substrings are equal (and
+    for distinct positions, genuinely unpadded); descending the levels adds
+    each power of two at most once, so the accumulated offset is the LCP.
+    """
+    if n == 0:
+        return _EMPTY_I64
+    i = sa[1:]
+    j = sa[:-1]
+    length = np.zeros(n - 1, dtype=np.int64)
+    for k, rk in reversed(levels):
+        ii = i + length
+        jj = j + length
+        ok = (ii < n) & (jj < n)
+        ii_c = np.minimum(ii, n - 1)
+        jj_c = np.minimum(jj, n - 1)
+        eq = ok & (rk[ii_c] == rk[jj_c])
+        length += eq * k
+    lcp = np.empty(n, dtype=np.int64)
+    lcp[0] = 0
+    lcp[1:] = length
+    return lcp
 
 
 def lcp_array(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
@@ -79,6 +121,26 @@ def lcp_array(data: np.ndarray, sa: np.ndarray) -> np.ndarray:
     return lcp
 
 
+def _segmented_running_min(
+    lcp_seq: np.ndarray, is_src: np.ndarray, n: int
+) -> tuple[np.ndarray, np.ndarray]:
+    """Per rank-sequence position: min adjacent-LCP since the most recent
+    source position (exclusive), and that source's sequence index.
+
+    Vectorized segmented cumulative min: subtracting ``BIG * segment_id``
+    makes every later segment's values smaller than any earlier segment's,
+    so a plain ``minimum.accumulate`` never leaks mins across segment
+    boundaries.  Source positions themselves contribute BIG (excluded).
+    """
+    big = np.int64(n + 1)
+    seg = np.cumsum(is_src.astype(np.int64))
+    x = np.where(is_src, big, lcp_seq)
+    run = np.minimum.accumulate(x - big * seg) + big * seg
+    idx = np.arange(n, dtype=np.int64)
+    last_src = np.maximum.accumulate(np.where(is_src, idx, -1))
+    return run, last_src
+
+
 def _best_cross_lcp(
     data: np.ndarray, split: int
 ) -> tuple[np.ndarray, np.ndarray, np.ndarray]:
@@ -90,49 +152,51 @@ def _best_cross_lcp(
     position of B the longest prefix shared with any A suffix.  Two sweeps
     over (SA, LCP): the LCP of two arbitrary suffixes is the min of adjacent
     LCPs between their ranks, so each side's best partner is the nearest
-    other-side suffix above or below it in suffix order.
+    other-side suffix above or below it in suffix order.  Fully vectorized
+    (segmented running-min over the rank order) — no per-rank Python.
     """
     n = data.shape[0]
-    sa = suffix_array(data)
-    lcp = lcp_array(data, sa)
+    sa, levels = _suffix_array_levels(data)
+    lcp = _lcp_from_levels(sa, levels, n)
     len_b = n - split - 1
     best_a = np.zeros(split, dtype=np.int64)
     partner_a = np.full(split, -1, dtype=np.int64)
     best_b = np.zeros(max(len_b, 0), dtype=np.int64)
 
-    for ranks in (range(n), range(n - 1, -1, -1)):
-        last_b = -1  # position (in data) of last B-suffix seen this sweep
-        run_b = 0  # min LCP between that B-suffix and the current rank
-        seen_a = False
-        run_a = 0  # min LCP since the last A-suffix
-        prev_r = None
-        for r in ranks:
-            if prev_r is not None:
-                # adjacent-lcp index is the larger of the two ranks
-                step = int(lcp[r] if r > prev_r else lcp[prev_r])
-                if step < run_b:
-                    run_b = step
-                if step < run_a:
-                    run_a = step
-            pos = int(sa[r])
-            if pos > split:
-                if seen_a:
-                    m = min(run_a, n - pos)
-                    j = pos - split - 1
-                    if m > best_b[j]:
-                        best_b[j] = m
-                last_b = pos
-                run_b = n  # reset: next A-suffix mins from here
-            elif pos < split:
-                if last_b >= 0:
-                    # cap by the sentinel: a match can't cross `split`
-                    m = min(run_b, split - pos)
-                    if m > best_a[pos]:
-                        best_a[pos] = m
-                        partner_a[pos] = last_b - split - 1
-                seen_a = True
-                run_a = n
-            prev_r = r
+    is_b = sa > split
+    is_a = sa < split
+
+    for direction in ("fwd", "bwd"):
+        if direction == "fwd":
+            sa_seq, isa, isb = sa, is_a, is_b
+            lcp_seq = lcp  # lcp_seq[r] = LCP crossing rank r-1 -> r
+        else:
+            sa_seq, isa, isb = sa[::-1], is_a[::-1], is_b[::-1]
+            # crossing rank r+1 -> r uses lcp[r+1]
+            lcp_seq = np.empty(n, dtype=np.int64)
+            lcp_seq[0] = 0
+            lcp_seq[1:] = lcp[::-1][: n - 1]
+
+        # A positions: nearest preceding B in this order + running min LCP
+        run_b, last_b = _segmented_running_min(lcp_seq, isb, n)
+        sel = isa & (last_b >= 0)
+        if sel.any():
+            pos = sa_seq[sel]
+            cand = np.minimum(run_b[sel], split - pos)
+            part = sa_seq[last_b[sel]] - split - 1
+            better = cand > best_a[pos]
+            # scatter-max: positions are unique within one sweep
+            best_a[pos[better]] = cand[better]
+            partner_a[pos[better]] = part[better]
+
+        # B positions: nearest preceding A + running min LCP
+        run_a, last_a = _segmented_running_min(lcp_seq, isa, n)
+        sel = isb & (last_a >= 0)
+        if sel.any():
+            pos = sa_seq[sel]
+            cand = np.minimum(run_a[sel], n - pos)
+            j = pos - split - 1
+            np.maximum.at(best_b, j, cand)
     return best_a, partner_a, best_b
 
 

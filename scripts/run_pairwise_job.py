@@ -11,12 +11,19 @@ k/w/hash/seed/prng config (golden-parity tested in tests/).
       [--pairs other.fa]        # zip two files positionally (reference 2-file mode)
       [--k 16] [--window 100] [--hash minimap2.0] \
       [--replicates 50] [--prng 20210908A] \
-      [--inhibit-correction] [--report-replicates] [--head N] \
-      [--out out_dir] [--format tsv|parquet]
+      [--inhibit-correction] [--report-replicates] [--report-configs] \
+      [--check-duplicates] [--correction-version v0.6|v0.4] [--debug-0.3.0] \
+      [--head N] [--out out_dir] [--format tsv|parquet]
 
 One-file mode pairs consecutive sequences (1,2),(3,4),… like the reference.
 Output goes to --out as TSV (tab-separated, header) or parquet; without
 --out the report prints to stdout.
+
+Reference-flag mapping: --report-configs = --report:configs (long-form
+config-count rows); --check-duplicates = --debug=checkduplicates (corpus
+duplicate-freeness validation, one row per sequence); --correction-version
+v0.4 = the frozen ``jaccard_correction_test_v_0_4.py`` scriptC formulas;
+--debug-0.3.0 = its --debug=0.3.0 omitted-term toggle.
 """
 
 from __future__ import annotations
@@ -43,6 +50,14 @@ def main() -> None:
     ap.add_argument("--prng", default="20210908A")
     ap.add_argument("--inhibit-correction", action="store_true")
     ap.add_argument("--report-replicates", action="store_true")
+    ap.add_argument("--report-configs", action="store_true",
+                    help="reference --report:configs (long-form rows)")
+    ap.add_argument("--check-duplicates", action="store_true",
+                    help="reference --debug=checkduplicates: per-sequence "
+                         "duplicate-freeness report instead of pair scoring")
+    ap.add_argument("--correction-version", default="v0.6", choices=["v0.6", "v0.4"])
+    ap.add_argument("--debug-0.3.0", dest="debug_030", action="store_true",
+                    help="v0.4's --debug=0.3.0 omitted-term toggle")
     ap.add_argument("--head", default=None)
     ap.add_argument("--out", default=None)
     ap.add_argument("--format", default="tsv", choices=["tsv", "parquet"])
@@ -50,6 +65,8 @@ def main() -> None:
 
     from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
     from minimizer_jaccard_estimator_spark.operators.pairwise_analytics import (
+        check_duplicates,
+        config_report,
         pairwise_report,
         replicate_report,
     )
@@ -71,6 +88,13 @@ def main() -> None:
     )
 
     fa = read_fasta(spark, args.fasta)
+    if args.check_duplicates:
+        docs = fa.select("name", fa["seq"].alias("text"))
+        if args.head:
+            docs = docs.limit(int_with_unit(args.head) * 2)
+        write_report(check_duplicates(docs, cfg), args.out, args.format)
+        return
+
     if args.pairs:
         pairs = zipped_pairs(fa, read_fasta(spark, args.pairs))
     else:
@@ -80,9 +104,14 @@ def main() -> None:
 
     if args.report_replicates:
         report = replicate_report(pairs, cfg)
+    elif args.report_configs:
+        report = config_report(pairs, cfg)
     else:
         report = pairwise_report(
-            pairs, cfg, correction="off" if args.inhibit_correction else "auto"
+            pairs, cfg,
+            correction="off" if args.inhibit_correction else "auto",
+            correction_version=args.correction_version,
+            omit_0_3_0_term=args.debug_030,
         )
 
     write_report(report, args.out, args.format)

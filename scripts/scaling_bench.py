@@ -12,11 +12,20 @@ The corpus generator is partitioning-independent (seeded per conv index;
 tests/test_pipeline.py::test_corpus_determinism_across_parallelism), so every
 level processes byte-identical input.
 
+``--mode local-cluster`` is the fidelity mode for the N-vs-4N criterion: it
+runs each level as ``local-cluster[N/4, 4, mem]`` — a real standalone
+master + N/4 workers, each executor in its OWN JVM with its own heap, GC and
+shuffle service, exactly the regime of "cluster sizes N and 4N executors".
+Plain ``--mode local`` shares one JVM across all threads, which measurably
+anti-scales past ~8 threads on this box (GC + shuffle contention) and
+understates the engine's true scaling.
+
 Usage:
   python scripts/scaling_bench.py [--levels 2,8,32] [--scheme seeded|oph]
-      [--n-base 20000] [--words 80] [--out SCALING.json]
+      [--mode local|local-cluster] [--n-base 20000] [--words 80]
+      [--out SCALING.json]
 
-Each level runs in a subprocess (own JVM); the parent aggregates.
+Each level runs in a subprocess (own driver JVM); the parent aggregates.
 """
 
 from __future__ import annotations
@@ -33,6 +42,17 @@ _CHILD = r"""
 import json, os, sys, time
 sys.path.insert(0, os.environ["SB_REPO"])
 cpus = int(os.environ["SB_CPUS"])
+extra_conf = {}
+if os.environ.get("SB_MODE") == "local-cluster":
+    # isolated executor JVMs: N/4 workers x 4 cores, own heap/GC per executor
+    workers = max(cpus // 4, 1)
+    mem_mb = int(os.environ.get("SB_EXEC_MEM_MB", "6144"))
+    os.environ["PYSPARK_SUBMIT_ARGS"] = (
+        f"--master local-cluster[{workers},4,{mem_mb}] pyspark-shell")
+    extra_conf = {
+        "spark.executor.memory": f"{mem_mb - 1024}m",
+        "spark.executorEnv.PYTHONPATH": os.environ["SB_REPO"],
+    }
 from minimizer_jaccard_estimator_spark.plans.session import get_spark
 from minimizer_jaccard_estimator_spark.sources.transcripts import synthetic_transcripts
 from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
@@ -43,7 +63,7 @@ sketch = SketchConfig(
     k=12, w=20, hash_type="splitmix64", hash_seed=0, num_perm=128,
     lsh_bands=32, minhash_scheme=os.environ["SB_SCHEME"],
 )
-spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus)
+spark = get_spark(app_name=f"scaling-{cpus}", cpus=cpus, extra_conf=extra_conf)
 spark.sparkContext.setLogLevel("ERROR")
 tr = synthetic_transcripts(
     spark, n_base=int(os.environ["SB_NBASE"]), dup_factor=2, seed=42,
@@ -53,6 +73,8 @@ tr = synthetic_transcripts(
 n_turns = tr.count()
 n_bytes = tr.agg(F.sum(F.length("text"))).collect()[0][0]
 stage = os.environ.get("SB_STAGE", "dedup")
+reps = int(os.environ.get("SB_REPS", "1"))
+walls, extra = [], {}
 if stage == "sketch":
     # the per-byte UDF stage alone (dominant cost at the 10^12-turn design
     # point); embarrassingly parallel across Arrow batches
@@ -62,28 +84,37 @@ if stage == "sketch":
     conv.count()
     src = conv.select("conv_id", "text").repartition(cpus * 2).persist()
     src.count()
-    t0 = time.monotonic()
-    sk = add_full_sketch(src, sketch)
-    n_minis = sk.agg(F.sum(F.size("minimizers"))).collect()[0][0]
-    wall = time.monotonic() - t0
-    extra = {"n_minimizers": int(n_minis)}
+    for _ in range(reps):
+        t0 = time.monotonic()
+        sk = add_full_sketch(src, sketch)
+        n_minis = sk.agg(F.sum(F.size("minimizers"))).collect()[0][0]
+        walls.append(time.monotonic() - t0)
+        extra = {"n_minimizers": int(n_minis)}
 else:
-    t0 = time.monotonic()
-    res = run_dedup(spark, tr, DedupConfig(sketch=sketch, jaccard_threshold=0.5))
-    n_clusters = res.clusters.select("cluster_id").distinct().count()
-    wall = time.monotonic() - t0
-    extra = {"n_clusters": n_clusters}
+    for _ in range(reps):
+        t0 = time.monotonic()
+        res = run_dedup(spark, tr, DedupConfig(sketch=sketch, jaccard_threshold=0.5))
+        n_clusters = res.clusters.select("cluster_id").distinct().count()
+        walls.append(time.monotonic() - t0)
+        res.release()  # same input next rep: measure compute, not cache reuse
+        extra = {"n_clusters": n_clusters}
+# min over reps: this VM shows +-20% co-tenancy noise run-to-run; the minimum
+# is the least-interfered (most hardware-faithful) sample at each level
+wall = min(walls)
 print(json.dumps({
     "cpus": cpus, "stage": stage, "wall_sec": round(wall, 2),
+    "walls": [round(w, 2) for w in walls],
     "turns_per_sec": round(n_turns / wall, 1),
     "n_turns": n_turns, "text_bytes": int(n_bytes), **extra,
 }))
 """
 
 
-def run_level(cpus: int, scheme: str, n_base: int, words: int, stage: str = "dedup") -> dict:
+def run_level(cpus: int, scheme: str, n_base: int, words: int,
+              stage: str = "dedup", mode: str = "local") -> dict:
     env = dict(os.environ, SB_REPO=REPO, SB_CPUS=str(cpus), SB_SCHEME=scheme,
-               SB_NBASE=str(n_base), SB_WORDS=str(words), SB_STAGE=stage)
+               SB_NBASE=str(n_base), SB_WORDS=str(words), SB_STAGE=stage,
+               SB_MODE=mode)
     out = subprocess.run(
         [sys.executable, "-c", _CHILD], env=env, capture_output=True, text=True,
         timeout=3600,
@@ -100,13 +131,15 @@ def main() -> None:
     ap.add_argument("--n-base", type=int, default=20000)
     ap.add_argument("--words", type=int, default=80)
     ap.add_argument("--stage", default="dedup", choices=["dedup", "sketch"])
+    ap.add_argument("--mode", default="local", choices=["local", "local-cluster"])
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
     levels = [int(x) for x in args.levels.split(",")]
 
     results = []
     for cpus in levels:
-        r = run_level(cpus, args.scheme, args.n_base, args.words, args.stage)
+        r = run_level(cpus, args.scheme, args.n_base, args.words, args.stage,
+                      args.mode)
         results.append(r)
         print(json.dumps(r), flush=True)
 
@@ -118,8 +151,9 @@ def main() -> None:
             eff = hi["turns_per_sec"] / (4.0 * lo["turns_per_sec"])
             pairs.append({"n": n, "n4": n * 4, "efficiency": round(eff, 3),
                           "tps_n": lo["turns_per_sec"], "tps_4n": hi["turns_per_sec"]})
-    summary = {"scheme": args.scheme, "stage": args.stage, "n_base": args.n_base,
-               "words_per_turn": args.words, "levels": results, "pairs": pairs}
+    summary = {"scheme": args.scheme, "stage": args.stage, "mode": args.mode,
+               "n_base": args.n_base, "words_per_turn": args.words,
+               "levels": results, "pairs": pairs}
     print(json.dumps(summary), flush=True)
     if args.out:
         with open(args.out, "w") as f:

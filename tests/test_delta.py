@@ -76,6 +76,36 @@ def test_delta_merges_previously_separate_clusters(spark, tmp_path):
     assert _canon(delta.clusters) == {frozenset({"a0", "b0", "m0"})}
 
 
+def test_two_committed_deltas_match_full_recompute(spark, tmp_path):
+    """commit=True folds each delta into the store, so a SECOND delta dedups
+    against the prior delta's documents too (the stale-corpus trap ADVICE
+    r01 flagged) and its overlap guard rejects re-ingesting delta ids."""
+    import pytest
+
+    corpus = synthetic_transcripts(spark, n_base=36, dup_factor=2, seed=77).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    part0 = corpus.where(idx % 3 == 0)
+    part1 = corpus.where(idx % 3 == 1)
+    part2 = corpus.where(idx % 3 == 2)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, part0, CFG, store=store)
+    run_dedup_delta(spark, part1, CFG, store, commit=True)
+    # the second delta must see part1's docs (new-vs-prior-delta duplicates)
+    second = run_dedup_delta(spark, part2, CFG, store, commit=True)
+
+    full = run_dedup(spark, corpus, CFG)
+    assert _canon(second.clusters) == _canon(full.clusters)
+
+    # committed ids are now guarded against re-ingestion
+    with pytest.raises(ValueError, match="already present"):
+        run_dedup_delta(spark, part1.limit(20), CFG, store)
+
+    # the store's stage tables contain the full corpus
+    assert store.load(spark, "conv_text").count() == corpus.select("conv_id").distinct().count()
+    assert store.load(spark, "clusters").count() == corpus.select("conv_id").distinct().count()
+
+
 def test_delta_requires_completed_store(spark, tmp_path):
     import pytest
 

@@ -9,6 +9,7 @@ import math
 
 import duckdb
 import pytest
+from pyspark.sql import functions as F_sql
 
 import __spark_entry__ as entry_mod
 
@@ -70,6 +71,27 @@ def test_rows_only_queries_run(spark, qmap, name):
     df = qmap[name](spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_session_window_exact_gap_boundary(spark):
+    """Pin Spark's session_window boundary semantics (ADVICE r01): an event
+    at EXACTLY prev + gap still MERGES (the measured behavior — touching
+    windows coalesce), so the DuckDB oracle must split only on strict >."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    rows = [
+        ("a", t0, 1.0),
+        ("a", t0 + dt.timedelta(minutes=30), 1.0),          # exact gap -> merges
+        ("a", t0 + dt.timedelta(minutes=60, seconds=1), 1.0),  # > gap -> NEW
+    ]
+    df = spark.createDataFrame(rows, ["event_type", "ts", "value"])
+    got = (
+        df.groupBy(F_sql.session_window("ts", "30 minutes").alias("w"), "event_type")
+        .count().orderBy("w.start").collect()
+    )
+    assert [r["count"] for r in got] == [2, 1]
+    assert got[1]["w"]["start"] == t0 + dt.timedelta(minutes=60, seconds=1)
 
 
 def test_entry_smoke(spark):

@@ -126,13 +126,18 @@ def test_verify_matches_reference_estimator(spark):
         assert r["j_mini"] == pytest.approx(ja.jaccard)
 
 
-def test_connected_components_vs_union_find(spark):
+@pytest.mark.parametrize("driver_threshold", [2_000_000, 0])
+def test_connected_components_vs_union_find(spark, driver_threshold):
+    """Both execution paths — driver-side union-find (small graphs) and the
+    distributed large/small-star fixpoint (driver_threshold=0 forces it) —
+    produce identical min-id component labels."""
     rng = random.Random(9)
     n = 200
     edges = [(f"n{rng.randrange(n):04d}", f"n{rng.randrange(n):04d}") for _ in range(150)]
     edges = [(a, b) for a, b in edges if a != b]
     df = spark.createDataFrame(edges, ["id_a", "id_b"])
-    got = {r["conv_id"]: r["cluster_id"] for r in connected_components(df).collect()}
+    got = {r["conv_id"]: r["cluster_id"]
+           for r in connected_components(df, driver_threshold=driver_threshold).collect()}
     uf = UnionFind()
     for a, b in edges:
         uf.union(a, b)
@@ -331,7 +336,8 @@ def test_connected_components_raises_without_convergence(spark):
         [(f"n{i:03d}", f"n{i+1:03d}") for i in range(0, 40)], ["id_a", "id_b"]
     )
     with _pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(pairs, max_iterations=1)
+        # driver_threshold=0 forces the distributed fixpoint path
+        connected_components(pairs, max_iterations=1, driver_threshold=0)
 
 
 def test_dedup_recall_on_driver_documents(spark):

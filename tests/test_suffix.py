@@ -13,6 +13,8 @@ import numpy as np
 import pytest
 
 from minimizer_jaccard_estimator_spark.suffix import (
+    _lcp_from_levels,
+    _suffix_array_levels,
     lcp_array,
     substring_stats,
     suffix_array,
@@ -101,6 +103,21 @@ def test_substring_stats_vs_naive(seed):
         i for i, m in enumerate(best) if m >= min_len for i in range(i, i + m)
     }
     assert span_cover == naive_cover
+
+
+@pytest.mark.parametrize("seed", [0, 1, 2, 3])
+def test_vectorized_lcp_matches_kasai(seed):
+    """The binary-lifting LCP (hot path) == Kasai == the naive oracle,
+    including heavy-repeat and near-end padded cases."""
+    rng = random.Random(900 + seed)
+    alphabet = [65, 66] if seed % 2 else list(range(65, 91))
+    s = bytes(rng.choice(alphabet) for _ in range(rng.randint(1, 400)))
+    data = np.frombuffer(s, dtype=np.uint8).astype(np.int64)
+    sa, levels = _suffix_array_levels(data)
+    vec = _lcp_from_levels(sa, levels, data.shape[0])
+    kasai = lcp_array(data, sa)
+    assert np.array_equal(vec, kasai)
+    assert vec.tolist() == _naive_lcp(s, sa.tolist())
 
 
 def test_substring_stats_planted_span():
