@@ -104,20 +104,22 @@ def q_a5_histogram(spark, sf):
 
 def q_j1_pair_zip_join(spark, sf):
     """J1 consecutive pairing within one ordered stream (fasta_pairs chunk
-    mode, jaccard_correction_test.py:857-895) via row_number equi-join."""
+    mode, jaccard_correction_test.py:857-895) — production form: range
+    repartition + per-partition row numbers + O(#partitions) driver offsets
+    (operators/pairing.py), never a single-partition global window; parity
+    with the global-window form is pytest-tested."""
+    from minimizer_jaccard_estimator_spark.operators.pairing import (
+        consecutive_pairs_ranged,
+    )
+
     o = _t(spark, sf, "orders").select("o_orderkey", "o_totalprice")
-    w = Window.orderBy("o_orderkey")
-    rn = o.withColumn("rn", F.row_number().over(w))
-    a = rn.where(F.col("rn") % 2 == 1).select((F.col("rn") / 2 + 0.5).cast("long").alias("pair_id"),
-                                              F.col("o_orderkey").alias("key_a"),
-                                              F.col("o_totalprice").alias("price_a"))
-    b = rn.where(F.col("rn") % 2 == 0).select((F.col("rn") / 2).cast("long").alias("pair_id"),
-                                              F.col("o_orderkey").alias("key_b"),
-                                              F.col("o_totalprice").alias("price_b"))
+    pairs = consecutive_pairs_ranged(o, "o_orderkey")
     return (
-        a.join(b, "pair_id")
-        .select("pair_id", "key_a", "key_b",
-                F.round(F.abs(F.col("price_a") - F.col("price_b")), 2).alias("price_gap"))
+        pairs.select(
+            "pair_id", "key_a", "key_b",
+            F.round(F.abs(F.col("o_totalprice_a") - F.col("o_totalprice_b")), 2)
+            .alias("price_gap"),
+        )
         .orderBy("pair_id")
     )
 
@@ -296,6 +298,79 @@ def q_events_session_window(spark, sf):
         "cnt",
         "sum_value",
     ).orderBy("event_type", "session_start")
+
+
+def q_w1_window_min(spark, sf):
+    """W1 winnower semantics as a driver-checked query: per event_type, the
+    sliding window-min over w=10 consecutive values, complete windows only,
+    first-occurrence dedup of consecutive equal minima — the declarative twin
+    of the O(n) winnow kernel (kernels.winnow_minimizers; reference
+    ``winnowed_minimizers.py:18-53``, whose deque the kernel is parity-tested
+    against).  Gives the winnower an oracle-checked entry on driver data."""
+    w = 10
+    e = _t(spark, sf, "events").select("event_type", "event_id", "value")
+    part = Window.partitionBy("event_type").orderBy("event_id")
+    d = e.select(
+        "event_type", "value",
+        F.row_number().over(part).alias("rn"),
+        F.min("value").over(part.rowsBetween(-(w - 1), 0)).alias("m"),
+    )
+    d = d.select("*", F.lag("m").over(
+        Window.partitionBy("event_type").orderBy("rn")).alias("pm"))
+    return (
+        d.where((F.col("rn") >= w) & ((F.col("rn") == w) | (F.col("m") != F.col("pm"))))
+        .select("event_type", F.col("rn").cast("long").alias("win_pos"),
+                F.round("m", 6).alias("win_min"))
+        .orderBy("event_type", "win_pos")
+    )
+
+
+def q_pairwise_report_exact(spark, sf):
+    """The pairwise_report operator itself (mapInPandas over the numpy
+    shingle kernels) driver-checked end-to-end: consecutive documents scored
+    in text mode at k=8 with the exact-I/U/J columns exposed; a pure-SQL
+    8-gram set computation reproduces the values (the 64-bit shingle
+    fingerprints are injective at this scale, text is ASCII so byte==char)."""
+    d = _t(spark, sf, "documents").where(F.length("text") >= 8)
+    a = d.select(F.col("doc_id").alias("id_a"), F.col("text").alias("text_a"))
+    b = d.select((F.col("doc_id") - 1).alias("id_a"), F.col("text").alias("text_b"))
+    pairs = a.join(b, "id_a").select(
+        F.col("id_a").cast("string").alias("name_a"), "text_a",
+        (F.col("id_a") + 1).cast("string").alias("name_b"), "text_b",
+    )
+    cfg = SketchConfig(k=8, w=10, hash_type="splitmix64", hash_seed=0,
+                       mode="text", num_perm=1, lsh_bands=1)
+    rep = pairwise_report(pairs, cfg, correction="off")
+    return (
+        rep.select(
+            F.col("name_a").cast("long").alias("id_a"),
+            F.col("i_exact").alias("i_grams"),
+            F.col("u_exact").alias("u_grams"),
+            F.round("j_exact", 6).alias("jaccard"),
+        )
+        .orderBy("id_a")
+    )
+
+
+def q_shingle_profile(spark, sf):
+    """H2 kmer/shingle-profile operator (functions.sketch.shingle_profile —
+    exploded (id, fingerprint, cnt) multiset rows) summarized per document;
+    a pure-SQL 8-gram multiset reproduces the counts."""
+    from minimizer_jaccard_estimator_spark.functions.sketch import shingle_profile
+
+    d = _t(spark, sf, "documents").where(F.length("text") >= 8)
+    cfg = SketchConfig(k=8, w=10, hash_type="splitmix64", hash_seed=0,
+                       mode="text", num_perm=1, lsh_bands=1)
+    prof = shingle_profile(d, cfg, id_col="doc_id", text_col="text")
+    return (
+        prof.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct"),
+            F.sum("cnt").cast("long").alias("n_shingles"),
+            F.max("cnt").cast("long").alias("max_mult"),
+        )
+        .orderBy("doc_id")
+    )
 
 
 def q_ann_cosine_topk(spark, sf):
@@ -542,6 +617,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "o1_topk": q_o1_topk,
         "join_agg_revenue": q_join_agg_revenue,
         "events_window": q_events_window,
+        "w1_window_min": q_w1_window_min,
+        "pairwise_report_exact": q_pairwise_report_exact,
+        "shingle_profile": q_shingle_profile,
         "events_session_window": q_events_session_window,
         "ann_cosine_topk": q_ann_cosine_topk,
         # kernel-backed (rows-only checks)
@@ -685,6 +763,49 @@ def oracle_sql() -> dict[str, str]:
             SELECT date_trunc('hour', ts) AS hour, event_type, count(*) AS cnt,
                    CAST(sum(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
             FROM events GROUP BY 1, 2 ORDER BY hour, event_type
+        """,
+        "w1_window_min": """
+            WITH d AS (
+              SELECT event_type, value,
+                     row_number() OVER (PARTITION BY event_type ORDER BY event_id) AS rn,
+                     min(value) OVER (PARTITION BY event_type ORDER BY event_id
+                                      ROWS BETWEEN 9 PRECEDING AND CURRENT ROW) AS m
+              FROM events
+            ),
+            l AS (
+              SELECT *, lag(m) OVER (PARTITION BY event_type ORDER BY rn) AS pm
+              FROM d
+            )
+            SELECT event_type, rn AS win_pos, round(m, 6) AS win_min
+            FROM l
+            WHERE rn >= 10 AND (rn = 10 OR m != pm)
+            ORDER BY event_type, win_pos
+        """,
+        "pairwise_report_exact": """
+            WITH g AS (
+              SELECT doc_id,
+                     list_distinct([substring(text, i, 8) for i in generate_series(1, length(text) - 7)]) AS gs
+              FROM documents WHERE length(text) >= 8
+            )
+            SELECT a.doc_id AS id_a,
+                   len(list_intersect(a.gs, b.gs)) AS i_grams,
+                   len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs)) AS u_grams,
+                   round(len(list_intersect(a.gs, b.gs)) /
+                         (len(a.gs) + len(b.gs) - len(list_intersect(a.gs, b.gs))), 6) AS jaccard
+            FROM g a JOIN g b ON b.doc_id = a.doc_id + 1
+            ORDER BY id_a
+        """,
+        "shingle_profile": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest([substring(text, i, 8) for i in generate_series(1, length(text) - 7)]) AS sh
+              FROM documents WHERE length(text) >= 8
+            ),
+            per AS (SELECT doc_id, sh, count(*) AS c FROM g GROUP BY doc_id, sh)
+            SELECT doc_id, count(*) AS n_distinct,
+                   CAST(sum(c) AS BIGINT) AS n_shingles,
+                   CAST(max(c) AS BIGINT) AS max_mult
+            FROM per GROUP BY doc_id ORDER BY doc_id
         """,
         "events_session_window": """
             WITH o AS (

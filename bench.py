@@ -100,8 +100,17 @@ def main() -> None:
         timings[name] = round(time.monotonic() - t0, 3)
 
     # surface the separately-measured N-vs-4N scaling efficiency (see
-    # scripts/scaling_bench.py and BASELINE.md) if results are committed
-    for tag, path in (("dedup", "SCALING_dedup.json"), ("sketch", "SCALING_sketch.json")):
+    # scripts/scaling_bench.py and BASELINE.md) if results are committed.
+    # The *_cluster files are the round-2 isolated-executor-JVM regime
+    # (local-cluster + taskset pinning + interleaved levels — the faithful
+    # N-vs-4N-executors measurement); the legacy files are single-JVM local[N]
+    for tag, path in (
+        ("dedup_cluster", "SCALING_dedup_cluster.json"),
+        ("dedup_cluster_4_16", "SCALING_dedup_cluster_4_16.json"),
+        ("sketch_cluster", "SCALING_sketch_cluster.json"),
+        ("dedup", "SCALING_dedup.json"),
+        ("sketch", "SCALING_sketch.json"),
+    ):
         p = os.path.join(REPO, path)
         if os.path.exists(p):
             with open(p) as fh:

@@ -239,6 +239,49 @@ def add_full_sketch(df: DataFrame, cfg: SketchConfig, text_col: str = "text") ->
     )
 
 
+PROFILE_FIELDS = ArrayType(
+    StructType(
+        [
+            StructField("fingerprint", LongType()),
+            StructField("cnt", IntegerType()),
+        ]
+    )
+)
+
+
+def shingle_profile(df: DataFrame, cfg: SketchConfig,
+                    id_col: str = "conv_id", text_col: str = "text") -> DataFrame:
+    """Exploded k-shingle multiset profile: one row per (id, fingerprint)
+    with its occurrence count — the reference's ``kmer_profile``
+    (``sliding_jaccard.py:551-566``) in the SURVEY-preferred exploded form
+    (joins/aggregations over profiles are then native DataFrame ops).
+
+    The per-document count vector is built in one numpy pass inside an Arrow
+    UDF (np.unique with counts); the explode to rows happens JVM-side.
+    """
+
+    def run(batches: Iterator[pd.Series]) -> Iterator[pd.Series]:
+        for texts in batches:
+            out = []
+            for t in texts:
+                fp = cfg.fingerprints(t or "")
+                if fp.size:
+                    u, c = np.unique(fp, return_counts=True)
+                    out.append(list(zip(K.u64_to_i64(u).tolist(),
+                                        c.astype(np.int32).tolist())))
+                else:
+                    out.append([])
+            yield pd.Series(out)
+
+    prof = F.pandas_udf(run, PROFILE_FIELDS)(F.col(text_col)).alias("_p")
+    return (
+        df.select(F.col(id_col), prof)
+        .select(id_col, F.explode("_p").alias("_e"))
+        .select(id_col, F.col("_e.fingerprint").alias("fingerprint"),
+                F.col("_e.cnt").alias("cnt"))
+    )
+
+
 def hash_sequence_udf(cfg: SketchConfig, seed: int | None = None):
     """text -> array<long> positional hash sequence (parity/debug surface,
     reference ``hash_sequence``)."""

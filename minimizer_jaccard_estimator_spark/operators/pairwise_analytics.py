@@ -68,10 +68,20 @@ REPORT_SCHEMA = StructType(
 
 def _score_pair(name_a: str, text_a: str, name_b: str, text_b: str,
                 cfg: SketchConfig, seeds: np.ndarray, compute_correction: bool,
-                version: str = "v0.6", omit_0_3_0_term: bool = False) -> tuple:
+                version: str = "v0.6", omit_0_3_0_term: bool = False,
+                report_duplicates: bool = False) -> tuple:
     fp_a = cfg.fingerprints(text_a or "")
     fp_b = cfg.fingerprints(text_b or "")
     kd = P.jaccard_exact(fp_a, fp_b)
+    dup_cols: tuple = ()
+    if report_duplicates:
+        # reference --report:duplicates (hashA.dups / hashB.dups columns,
+        # jaccard_correction_test.py:262,281-282): count of positions whose
+        # replicate-0 hash value was seen earlier (count_duplicates, :770-778)
+        mk = cfg.k if cfg.mode == "dna" else 32
+        ha0 = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_a, mk) if fp_a.size else fp_a
+        hb0 = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_b, mk) if fp_b.size else fp_b
+        dup_cols = (int(K.count_hash_duplicates(ha0)), int(K.count_hash_duplicates(hb0)))
 
     mask_k = cfg.k if cfg.mode == "dna" else 32
     i_r, u_r, j_r = P.jaccard_minimizers_replicates(
@@ -110,11 +120,23 @@ def _score_pair(name_a: str, text_a: str, name_b: str, text_b: str,
     return (
         name_a, name_b, n_rep, cfg.w, cfg.k,
         len(text_a or ""), int(fp_a.shape[0]),
+        *dup_cols,
         kd.n_intersection, kd.n_union, kd.jaccard,
         i_avg, u_avg, j_avg,
         script_d, jaccard_from_d, script_c, bias,
         j_avg - kd.jaccard, corr_error,
     )
+
+
+def _report_schema(report_duplicates: bool) -> StructType:
+    fields = list(REPORT_SCHEMA.fields)
+    if report_duplicates:
+        # dup-count columns sit after the length columns, like the
+        # reference's header order (jaccard_correction_test.py:262)
+        at = [f.name for f in fields].index("n_hashes") + 1
+        fields[at:at] = [StructField("n_dups_a", LongType()),
+                         StructField("n_dups_b", LongType())]
+    return StructType(fields)
 
 
 def pairwise_report(
@@ -123,6 +145,7 @@ def pairwise_report(
     correction: str = "auto",
     correction_version: str = "v0.6",
     omit_0_3_0_term: bool = False,
+    report_duplicates: bool = False,
 ) -> DataFrame:
     """Score (name_a, text_a, name_b, text_b) pair rows.
 
@@ -132,22 +155,26 @@ def pairwise_report(
     ``correction_version='v0.4'`` uses the frozen v0.4 manuscript scriptC
     (``jaccard_correction_test_v_0_4.py``); ``omit_0_3_0_term`` is that
     snapshot's ``--debug=0.3.0`` regression toggle.
+    ``report_duplicates`` adds the reference's ``--report:duplicates``
+    columns (n_dups_a / n_dups_b: duplicated hash positions per side).
     """
     seeds = cfg.seeds()
     compute_corr = correction == "auto" and K.hash_is_invertible(cfg.hash_type)
+    schema = _report_schema(report_duplicates)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             rows = [
                 _score_pair(r.name_a, r.text_a, r.name_b, r.text_b,
                             cfg, seeds, compute_corr,
-                            correction_version, omit_0_3_0_term)
+                            correction_version, omit_0_3_0_term,
+                            report_duplicates)
                 for r in pdf.itertuples(index=False)
             ]
-            yield pd.DataFrame(rows, columns=[f.name for f in REPORT_SCHEMA.fields])
+            yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     cols = ["name_a", "text_a", "name_b", "text_b"]
-    return pairs.select(*cols).mapInPandas(run, schema=REPORT_SCHEMA)
+    return pairs.select(*cols).mapInPandas(run, schema=schema)
 
 
 # the 17 configurations the reference's --report:configs emits

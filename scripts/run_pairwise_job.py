@@ -50,6 +50,8 @@ def main() -> None:
     ap.add_argument("--prng", default="20210908A")
     ap.add_argument("--inhibit-correction", action="store_true")
     ap.add_argument("--report-replicates", action="store_true")
+    ap.add_argument("--report-duplicates", action="store_true",
+                    help="reference --report:duplicates (n_dups_a/n_dups_b columns)")
     ap.add_argument("--report-configs", action="store_true",
                     help="reference --report:configs (long-form rows)")
     ap.add_argument("--check-duplicates", action="store_true",
@@ -112,6 +114,7 @@ def main() -> None:
             correction="off" if args.inhibit_correction else "auto",
             correction_version=args.correction_version,
             omit_0_3_0_term=args.debug_030,
+            report_duplicates=args.report_duplicates,
         )
 
     write_report(report, args.out, args.format)

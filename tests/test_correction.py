@@ -182,6 +182,33 @@ def test_config_report_matches_reference_cli(spark, tmp_path):
     assert sum(got.values()) == (n_hashes - w) ** 2
 
 
+def test_pairwise_report_duplicates_columns(spark):
+    """report_duplicates=True adds the reference's --report:duplicates
+    columns: per-side duplicated-hash-position counts (count_duplicates)."""
+    from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
+    from minimizer_jaccard_estimator_spark.operators.pairwise_analytics import (
+        pairwise_report)
+
+    rng = random.Random(61)
+    clean = random_dna(rng, 180)
+    dup = clean[:40] + clean[:40] + random_dna(rng, 100)
+    cfg = SketchConfig(k=16, w=8, hash_type="minimap2", hash_seed=0, mode="dna",
+                       num_perm=1, lsh_bands=1)
+    pairs = spark.createDataFrame([("A", clean, "B", dup)],
+                                  ["name_a", "text_a", "name_b", "text_b"])
+    row = pairwise_report(pairs, cfg, report_duplicates=True).collect()[0]
+    ha = K.hash_dna_sequence(clean, 16, "minimap2", 0)
+    hb = K.hash_dna_sequence(dup, 16, "minimap2", 0)
+    assert row["n_dups_a"] == ref_mod.count_duplicates(tuple(int(x) for x in ha))
+    assert row["n_dups_b"] == ref_mod.count_duplicates(tuple(int(x) for x in hb))
+    assert row["n_dups_b"] > 0
+    # columns sit after n_hashes, mirroring the reference header order
+    cols = pairwise_report(pairs, cfg, report_duplicates=True).columns
+    assert cols.index("n_dups_a") == cols.index("n_hashes") + 1
+    # default schema unchanged
+    assert "n_dups_a" not in pairwise_report(pairs, cfg).columns
+
+
 def test_check_duplicates_operator(spark):
     """check_duplicates == the reference's --debug=checkduplicates verdict
     (``jaccard_correction_test.py:338-347``) per document."""

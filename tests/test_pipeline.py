@@ -146,6 +146,39 @@ def test_connected_components_vs_union_find(spark, driver_threshold):
     assert got == expect
 
 
+def test_consecutive_pairs_ranged_matches_global_window(spark):
+    """The range-partitioned pairing (per-partition row numbers + driver
+    offsets, operators/pairing.py) == the single-partition global-window
+    form, including the dropped odd tail."""
+    import pyspark.sql.functions as F
+    from pyspark.sql import Window
+
+    from minimizer_jaccard_estimator_spark.operators.pairing import (
+        consecutive_pairs_ranged)
+
+    rng = random.Random(31)
+    keys = random.Random(31).sample(range(100000), 1001)  # odd count -> tail drop
+    df = spark.createDataFrame([(k, f"v{k}") for k in keys], ["k", "v"]) \
+        .repartition(16)
+    got = {
+        (r["pair_id"], r["key_a"], r["key_b"], r["v_a"], r["v_b"])
+        for r in consecutive_pairs_ranged(df, "k", partitions=8).collect()
+    }
+    w = Window.orderBy("k")
+    rn = df.withColumn("rn", F.row_number().over(w))
+    a = rn.where(F.col("rn") % 2 == 1).select(
+        ((F.col("rn") + 1) / 2).cast("long").alias("pair_id"),
+        F.col("k").alias("key_a"), F.col("v").alias("v_a"))
+    b = rn.where(F.col("rn") % 2 == 0).select(
+        (F.col("rn") / 2).cast("long").alias("pair_id"),
+        F.col("k").alias("key_b"), F.col("v").alias("v_b"))
+    expect = {
+        (r["pair_id"], r["key_a"], r["key_b"], r["v_a"], r["v_b"])
+        for r in a.join(b, "pair_id").collect()
+    }
+    assert got == expect and len(got) == 500
+
+
 def test_exact_dup_pairs(spark):
     df = spark.createDataFrame(
         [("a", "same text"), ("b", "same text"), ("c", "other"), ("d", "same text")],
