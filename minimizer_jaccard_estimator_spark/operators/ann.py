@@ -130,7 +130,15 @@ def embedding_neardup_pairs(
     ``max_bucket_size`` bounds degenerate buckets (e.g. the all-zero
     direction) explicitly.
     """
-    dim = len(emb.select(vec_col).first()[0])
+    first = emb.select(vec_col).where(F.col(vec_col).isNotNull()).first()
+    if first is None:
+        # empty (or all-null) input: zero pairs, not a TypeError — keep the
+        # output schema so downstream unions/writes still work
+        id_type = emb.schema[id_col].dataType.simpleString()
+        return emb.sparkSession.createDataFrame(
+            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+        )
+    dim = len(first[0])
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
                               lambda s, x: s + x))
@@ -141,12 +149,16 @@ def embedding_neardup_pairs(
     keys = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)(F.col("_u"))
     b = unit.select(id_col, F.explode(keys).alias("bucket"))
 
-    buckets = (
-        b.groupBy("bucket").agg(F.collect_list(id_col).alias("_ids"))
-        .where(F.size("_ids") >= 2)
-    )
+    # size buckets BEFORE collecting id lists (map-side-combined count rows,
+    # never a degenerate bucket's full membership in one aggregation buffer);
+    # the collect_list then reuses the join's bucket partitioning
+    sizes = b.groupBy("bucket").agg(F.count("*").alias("_n")).where(F.col("_n") >= 2)
     if max_bucket_size is not None:
-        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
+        sizes = sizes.where(F.col("_n") <= max_bucket_size)
+    buckets = (
+        b.join(sizes.select("bucket"), "bucket")
+        .groupBy("bucket").agg(F.collect_list(id_col).alias("_ids"))
+    )
     pairs = (
         buckets.select(F.col("_ids"), F.posexplode("_ids").alias("_i", "_a"))
         .select(

@@ -77,7 +77,7 @@ def connected_components(
     id_col_a: str = "id_a",
     id_col_b: str = "id_b",
     max_iterations: int = 20,
-    driver_threshold: int | None = 2_000_000,
+    driver_threshold: int | None = 500_000,
 ) -> DataFrame:
     """(conv_id, cluster_id): every node of the pair graph labeled with the
     min id of its component.  Nodes absent from ``pairs`` are not returned
@@ -89,12 +89,16 @@ def connected_components(
     scheduling latency — at millions of edges that latency is noise, at
     thousands it dominates).  The distributed fixpoint remains the path for
     big graphs and is equivalence-tested against the union-find on every CI
-    run; ``driver_threshold=0`` forces it."""
+    run; ``driver_threshold=0`` forces it.  The default threshold is sized
+    for the session factory's 8g driver (500k collected edges ≈ low hundreds
+    of MB of Row/dict state); raise it only alongside driver memory."""
     edges = pairs.select(
         F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
-    ).where(F.col("src") != F.col("dst")).distinct().localCheckpoint()
+    ).where(F.col("src") != F.col("dst")).distinct()
 
     if driver_threshold and edges.count() <= driver_threshold:
+        # count + collect share the distinct's shuffle files (no
+        # localCheckpoint write needed on this path)
         rows = [(r["src"], r["dst"]) for r in edges.collect()]
         labeled = _driver_union_find(rows)
         spark = pairs.sparkSession
@@ -103,6 +107,8 @@ def connected_components(
         ).schema
         return spark.createDataFrame(labeled, schema)
 
+    # iterative path: truncate lineage per iteration (plans stay bounded)
+    edges = edges.localCheckpoint()
     prev_sig = None
     converged = False
     for _ in range(max_iterations):

@@ -94,11 +94,19 @@ def run_dedup_delta(
             cfg.salt_partitions, F.col("conv_id"), F.col("turn_idx")
         )
     new_conv = assemble_conversations(new_transcripts)
-    overlap = new_conv.join(old_clusters, "conv_id").limit(1).count()
+    # guard against the CORPUS table (conv_text), not the clusters table:
+    # conv_text is appended first during commit, so a retry after a commit
+    # that died mid-way (rows appended, clusters not yet swapped) fails HERE,
+    # loudly, instead of silently double-appending the delta's corpus rows
+    overlap = new_conv.join(old_conv.select("conv_id"), "conv_id").limit(1).count()
     if overlap:
         raise ValueError(
-            "new_transcripts contain conv_ids already present in the corpus; "
-            "delta ingestion requires fresh ids (re-ingest via a full run)"
+            "new_transcripts contain conv_ids already present in the corpus "
+            "conv_text table; delta ingestion requires fresh ids.  If a prior "
+            "commit=True run died mid-commit, the corpus holds this delta's "
+            "conv_text/sketches rows but stale clusters: restore the store "
+            "from the pre-delta state (or rebuild with a full run_dedup) "
+            "before retrying"
         )
     src = new_conv.select("conv_id", "text")
     if cfg.rebalance_sketch:
@@ -177,6 +185,17 @@ def run_dedup_delta(
     else:
         verified = verify_pairs(candidates, all_sk.select("conv_id", "minimizers"))
 
+    if commit:
+        # materialize BEFORE anything downstream (and before the commit
+        # appends): these lazy plans scan old_sk/old_conv, so evaluating
+        # them after the appends would double-count the delta rows; the
+        # re-read tables also make the returned DataFrames durable lineage
+        # records that stay valid after the store is updated
+        candidates = store.materialize(spark, "delta_candidates", candidates,
+                                       resume=False)
+        verified = store.materialize(spark, "delta_verified", verified,
+                                     resume=False)
+
     accepted = verified.where(F.col("j_mini") >= cfg.jaccard_threshold).select("id_a", "id_b")
     # exact-digest pairs are identical texts: accept regardless of j_mini
     # (texts shorter than k have empty minimizer sets and j_mini = 0)
@@ -192,20 +211,28 @@ def run_dedup_delta(
         .select("conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id"))
     )
     if commit:
-        import shutil
-
-        # append the delta rows to the corpus stages (schemas matched above)
+        # Commit order is chosen so every returned DataFrame and every crash
+        # window is safe (plain table dirs can't give true atomicity, so the
+        # design is fail-loud + recoverable instead).  candidates/verified
+        # were already materialized as delta_* store tables above (their lazy
+        # plans scan the tables the appends below modify).
+        #
+        # 1. write the full updated clusters to a side path (its plan reads
+        #    the old tables too; also never overwrite a table a pending plan
+        #    still scans).  A crash before step 2 leaves the store
+        #    semantically untouched;
+        # 2. append the delta's conv_text/sketches rows.  A crash between
+        #    the appends and the swap is caught LOUDLY by the conv_text
+        #    overlap guard on retry (see above);
+        # 3. swap the clusters table (delete + rename via StageStore.swap_in,
+        #    which also handles remote :// roots through the Hadoop FS API).
+        clusters.write.mode("overwrite").format(store.format) \
+            .save(store.path("clusters__pending"))
         new_conv.select(*old_conv.columns).write.mode("append") \
             .format(store.format).save(store.path("conv_text"))
         new_sk.select(*old_sk.columns).write.mode("append") \
             .format(store.format).save(store.path("sketches"))
-        # clusters is a full REPLACEMENT whose plan reads the old clusters
-        # path — write to a side path first, then swap (never overwrite a
-        # table a pending plan still scans)
-        pending = store.path("clusters__pending")
-        clusters.write.mode("overwrite").format(store.format).save(pending)
-        shutil.rmtree(store.path("clusters"))
-        shutil.move(pending, store.path("clusters"))
+        store.swap_in(spark, "clusters", "clusters__pending")
         clusters = store.load(spark, "clusters")
         # everything is on disk now; release the internal caches (ADVICE:
         # don't pin storage memory across jobs in a long-lived session)

@@ -9,8 +9,10 @@ Scale notes:
 - band hashes are computed JVM-side (``transform`` + ``xxhash64`` over array
   slices) — the exploded rows carry only (id, band_id, band_hash), never the
   full signature, so the band shuffle is ~24 bytes/row * bands.
-- candidate generation is ONE shuffle: ``groupBy(band_id, band_hash)`` with
-  a bounded ``collect_list``, then map-side JVM pair expansion — never a
+- candidate generation ships the band table ONCE: a map-side-combined count
+  aggregation sizes buckets first (tiny count rows, never id lists), the
+  band rows join the surviving bucket keys, and the bounded ``collect_list``
+  + map-side JVM pair expansion reuse that join's partitioning — never a
   band-table self-join (which would ship the widest intermediate three more
   times).  ``max_bucket_size`` bounds both the per-bucket list memory and
   the quadratic pair expansion, dropping degenerate buckets (thousands of
@@ -48,41 +50,48 @@ def lsh_candidate_pairs(
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
 
-    One shuffle total: the band table groups into buckets
-    (``groupBy(band_id, band_hash).collect_list(id)``) and the within-bucket
-    pair expansion happens map-side in JVM expressions (double posexplode /
-    slice — never a self-join).  The earlier self-join formulation shuffled
-    the band table three more times (size agg + both join sides); at 100TB
-    the band table is the pipeline's widest intermediate, so shipping it
-    once is the difference that matters.  Per-bucket state is bounded by
-    ``max_bucket_size`` ids (the cap both bounds the quadratic expansion and
-    the collect_list memory).
+    The band table is shipped ONCE: a map-side-combined count aggregation
+    sizes the buckets first (it shuffles tiny partially-aggregated count
+    rows, never id lists), the band rows equi-join against the surviving
+    bucket keys (this is the single shuffle of the wide table), and the
+    ``collect_list`` + in-JVM pair expansion (double posexplode / slice —
+    never a self-join) run on the join's partitioning without a further
+    exchange.  Filtering by count BEFORE collecting means no aggregation
+    buffer ever materializes a degenerate bucket's full membership: a
+    boilerplate bucket with millions of identical docs costs one long of
+    count state, not an executor-OOM-sized list.  Per-bucket list memory is
+    therefore bounded by ``max_bucket_size`` ids.
 
     ``with_dropped=True`` additionally returns the (band_id, band_hash,
-    n_docs) buckets the cap excluded — computed in the SAME aggregation (no
-    silent caps, no recompute).  When it is used, the bucket aggregate is
-    persisted and appended to ``cache_registry`` (when given) so the caller
-    can unpersist it once both outputs are materialized."""
+    n_docs) buckets the cap excluded — derived from the SAME count aggregate
+    (no silent caps, no recompute).  When it is used, that (tiny) aggregate
+    is persisted and appended to ``cache_registry`` (when given) so the
+    caller can unpersist it once both outputs are materialized."""
     b = band_hashes(signatures, cfg, id_col)
-    buckets = (
+    sizes = (
         b.groupBy("band_id", "band_hash")
-        .agg(F.collect_list(id_col).alias("_ids"))
-        .where(F.size("_ids") >= 2)
+        .agg(F.count("*").alias("_n"))
+        .where(F.col("_n") >= 2)
     )
     dropped = None
     if max_bucket_size is not None:
         if with_dropped:
-            buckets = buckets.persist()
+            sizes = sizes.persist()
             if cache_registry is not None:
-                cache_registry.append(buckets)
-            dropped = buckets.where(F.size("_ids") > max_bucket_size).select(
-                "band_id", "band_hash", F.size("_ids").cast("long").alias("n_docs")
+                cache_registry.append(sizes)
+            dropped = sizes.where(F.col("_n") > max_bucket_size).select(
+                "band_id", "band_hash", F.col("_n").cast("long").alias("n_docs")
             )
-        buckets = buckets.where(F.size("_ids") <= max_bucket_size)
+        sizes = sizes.where(F.col("_n") <= max_bucket_size)
     elif with_dropped:
         dropped = signatures.sparkSession.createDataFrame(
             [], "band_id int, band_hash long, n_docs long"
         )
+    buckets = (
+        b.join(sizes.select("band_id", "band_hash"), ["band_id", "band_hash"])
+        .groupBy("band_id", "band_hash")
+        .agg(F.collect_list(id_col).alias("_ids"))
+    )
     # all (i < j) position pairs of each bucket, JVM-side, no join:
     # posexplode picks the left element, slice takes everything after it
     pairs = (

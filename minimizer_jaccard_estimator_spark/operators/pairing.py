@@ -7,15 +7,18 @@ The parity-scale J1 implementation (``__spark_entry__.q_j1_pair_zip_join``,
 — one task does all the numbering, which is fine for parity fixtures and
 wrong at 100x the orders table.  This operator distributes it:
 
-1. ``repartitionByRange(key)`` — range shuffle, sorted runs per partition;
-2. per-partition local ``row_number`` (window PARTITIONED by partition id —
-   every partition numbers in parallel);
-3. per-partition row counts -> driver (one tiny row per partition) ->
-   cumulative offsets broadcast back;
-4. global_rn = offset[pid] + local_rn; pair_id = ceil(global_rn / 2);
+1. sample ~200 keys per target partition ONCE, freeze the P-1 range
+   boundaries as PLAN LITERALS (so every re-evaluation of the lazy result
+   sees identical partitioning — no persist, no repartitionByRange
+   re-sampling hazard);
+2. pid = #boundaries <= key (an O(P) JVM array filter per row);
+3. per-pid row counts -> driver (one tiny row per pid) -> cumulative
+   offsets rebuilt into a literal map;
+4. global_rn = offset[pid] + local row_number (window PARTITIONED by pid —
+   every range numbers in parallel);
 5. self-join odd/even on pair_id.
 
-The driver-side state is O(#partitions), never O(rows).  Equality with the
+Driver-side state is O(#partitions), never O(rows).  Equality with the
 global-window form is tested (tests/test_pipeline.py).
 """
 
@@ -25,35 +28,59 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, Window
 
 
+def _range_boundaries(df: DataFrame, order_col: str, parts: int) -> list:
+    """P-1 ascending split points sampled from ``order_col`` (any orderable
+    type, not just numeric).  Collected once and embedded as literals."""
+    n = df.count()
+    if n == 0 or parts <= 1:
+        return []
+    frac = min(1.0, (parts * 200.0) / n)
+    sample = sorted(
+        r[0] for r in df.select(order_col).sample(False, frac, seed=7).collect()
+        if r[0] is not None
+    )
+    if not sample:
+        return []
+    bounds = []
+    for i in range(1, parts):
+        b = sample[min(len(sample) - 1, (len(sample) * i) // parts)]
+        if not bounds or b > bounds[-1]:  # keep strictly ascending
+            bounds.append(b)
+    return bounds
+
+
 def global_row_numbers(df: DataFrame, order_col: str, partitions: int | None = None) -> DataFrame:
     """df + ``rn`` (1-based dense global order by ``order_col``) computed with
-    per-partition parallelism.  ``order_col`` values must be unique (they are
+    per-range parallelism.  ``order_col`` values must be unique (they are
     the sort key; ties would make the order non-deterministic)."""
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism
-    ranged = df.repartitionByRange(parts, F.col(order_col)).withColumn(
-        "_pid", F.spark_partition_id()
-    )
+    bounds = _range_boundaries(df, order_col, parts)
+    if bounds:
+        barr = F.array(*[F.lit(b) for b in bounds])
+        pid = F.size(F.filter(barr, lambda b: b <= F.col(order_col)))
+    else:
+        pid = F.lit(0)
+    ranged = df.withColumn("_pid", pid)
     w = Window.partitionBy("_pid").orderBy(order_col)
-    # persist: the counts action and the downstream joins must see the SAME
-    # range-sampling outcome (repartitionByRange samples boundaries)
-    local = ranged.withColumn("_lrn", F.row_number().over(w)).persist()
-    # one row per partition -> driver; cumulative offsets are O(#partitions)
+    # one tiny row per pid -> driver; cumulative offsets are O(#partitions).
+    # The pid expression is pure (literal boundaries), so this action and the
+    # final job see identical assignments — no persist needed.
     counts = {
         r["_pid"]: r["cnt"]
-        for r in local.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
+        for r in ranged.groupBy("_pid").agg(F.count("*").alias("cnt")).collect()
     }
-    if not counts:
-        return local.withColumn("rn", F.lit(1).cast("int")).drop("_pid", "_lrn")
     offsets, acc = {}, 0
-    for pid in sorted(counts):
-        offsets[pid] = acc
-        acc += counts[pid]
+    for p in sorted(counts):
+        offsets[p] = acc
+        acc += counts[p]
+    if not offsets:
+        return ranged.withColumn("rn", F.lit(1).cast("int")).drop("_pid")
     off_map = F.create_map(
         *[F.lit(x) for kv in sorted(offsets.items()) for x in kv]
     )
     return (
-        local.withColumn("rn", F.col("_lrn") + off_map[F.col("_pid")])
-        .drop("_pid", "_lrn")
+        ranged.withColumn("rn", F.row_number().over(w) + off_map[F.col("_pid")])
+        .drop("_pid")
     )
 
 

@@ -73,17 +73,27 @@ def _score_pair(name_a: str, text_a: str, name_b: str, text_b: str,
     fp_a = cfg.fingerprints(text_a or "")
     fp_b = cfg.fingerprints(text_b or "")
     kd = P.jaccard_exact(fp_a, fp_b)
+    mask_k = cfg.k if cfg.mode == "dna" else 32
+
+    # replicate-0 hash sequences are needed by BOTH report_duplicates and the
+    # correction branch; compute them at most once per pair
+    _h0: list = []
+
+    def rep0_hashes():
+        if not _h0:
+            _h0.append(K.apply_hash(cfg.hash_type, int(seeds[0]), fp_a, mask_k)
+                       if fp_a.size else fp_a)
+            _h0.append(K.apply_hash(cfg.hash_type, int(seeds[0]), fp_b, mask_k)
+                       if fp_b.size else fp_b)
+        return _h0[0], _h0[1]
+
     dup_cols: tuple = ()
     if report_duplicates:
         # reference --report:duplicates (hashA.dups / hashB.dups columns,
         # jaccard_correction_test.py:262,281-282): count of positions whose
         # replicate-0 hash value was seen earlier (count_duplicates, :770-778)
-        mk = cfg.k if cfg.mode == "dna" else 32
-        ha0 = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_a, mk) if fp_a.size else fp_a
-        hb0 = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_b, mk) if fp_b.size else fp_b
+        ha0, hb0 = rep0_hashes()
         dup_cols = (int(K.count_hash_duplicates(ha0)), int(K.count_hash_duplicates(hb0)))
-
-    mask_k = cfg.k if cfg.mode == "dna" else 32
     i_r, u_r, j_r = P.jaccard_minimizers_replicates(
         fp_a, fp_b, seeds, cfg.hash_type, mask_k, cfg.w
     )
@@ -105,8 +115,7 @@ def _score_pair(name_a: str, text_a: str, name_b: str, text_b: str,
         # correction uses replicate 0 only — identical for every replicate of
         # an invertible hash (reference ``jaccard_correction_test.py:349-353``)
         try:
-            ha = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_a, mask_k)
-            hb = K.apply_hash(cfg.hash_type, int(seeds[0]), fp_b, mask_k)
+            ha, hb = rep0_hashes()
             cd = C.jaccard_correction(ha, hb, cfg.w, version=version,
                                       omit_0_3_0_term=omit_0_3_0_term)
             script_d = cd.script_d

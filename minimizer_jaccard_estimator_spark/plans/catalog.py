@@ -76,6 +76,25 @@ class StageStore:
     def load(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.format(self.format).load(self.path(stage))
 
+    def swap_in(self, spark: SparkSession, stage: str, pending_stage: str) -> None:
+        """Replace ``stage``'s table with ``pending_stage``'s (delete + rename),
+        working for both local paths and Hadoop FS URIs (``://`` roots) — the
+        pattern for replacing a table some pending plan may still reference:
+        write the replacement to a side path first, then swap."""
+        if "://" in (self.root or ""):
+            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+            dst, src = jvm_path(self.path(stage)), jvm_path(self.path(pending_stage))
+            fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(dst):
+                fs.delete(dst, True)
+            if not fs.rename(src, dst):
+                raise OSError(f"rename {src} -> {dst} failed")
+        else:
+            import shutil
+
+            shutil.rmtree(self.path(stage))
+            os.rename(self.path(pending_stage), self.path(stage))
+
     def materialize(
         self,
         spark: SparkSession,

@@ -60,10 +60,10 @@ if os.environ.get("SB_MODE") == "local-cluster":
     mem_mb = int(os.environ.get("SB_EXEC_MEM_MB", "6144"))
     os.environ["PYSPARK_SUBMIT_ARGS"] = (
         f"--master local-cluster[{workers},4,{mem_mb}] pyspark-shell")
-    extra_conf = {
+    extra_conf.update({
         "spark.executor.memory": f"{mem_mb - 1024}m",
         "spark.executorEnv.PYTHONPATH": os.environ["SB_REPO"],
-    }
+    })
 from minimizer_jaccard_estimator_spark.plans.session import get_spark
 from minimizer_jaccard_estimator_spark.sources.transcripts import synthetic_transcripts
 from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
