@@ -106,7 +106,9 @@ def main() -> None:
     # N-vs-4N-executors measurement); the legacy files are single-JVM local[N]
     for tag, path in (
         ("dedup_cluster", "SCALING_dedup_cluster.json"),
+        ("dedup_cluster_2_8", "SCALING_dedup_cluster_2_8.json"),
         ("dedup_cluster_4_16", "SCALING_dedup_cluster_4_16.json"),
+        ("dedup_cluster_tmpfs", "SCALING_dedup_cluster_tmpfs.json"),
         ("sketch_cluster", "SCALING_sketch_cluster.json"),
         ("dedup", "SCALING_dedup.json"),
         ("sketch", "SCALING_sketch.json"),

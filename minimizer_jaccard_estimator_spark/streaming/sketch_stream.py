@@ -168,6 +168,7 @@ def start_dedup_stream(
     jaccard_threshold: float = 0.5,
     sep: str = "\n",
     state_timeout_ms: int | None = None,
+    bands_sink: str | None = None,
 ):
     """Streaming near-dup detection: per micro-batch, refresh sketches for
     changed conversations, generate LSH candidates of those conversations
@@ -180,9 +181,17 @@ def start_dedup_stream(
     re-generated on every later update (it re-enters the changed set), so the
     latest row per (id_a, id_b) converges to the final-text verdict whenever
     arrivals eventually stop — re-verify at compaction for strict semantics.
-    Scale note: this demo joins new band hashes against bands recomputed from
-    the full sketch sink each batch (simple + correct); a production deploy
-    maintains the band table as its own incrementally-appended sink.
+
+    Scale: with ``bands_sink`` set (the production path), the corpus band
+    table is maintained as its own incrementally-appended sink — each batch
+    appends only the changed conversations' (conv_id, band_id, band_hash)
+    rows (~24 B each) and the corpus-wide per-batch pass runs over THIN band
+    rows; the wide sketch sink is only read for the candidate ids' minimizer
+    arrays (semi-joined before the latest-row aggregation).  Without it,
+    bands are recomputed from the full sketch sink each batch (simple +
+    correct, but the per-batch corpus pass carries the wide signature rows
+    — fine for demos, quadratic-ish wall over a long stream).  Both paths
+    are equivalence-tested against the batch pipeline.
     """
     from ..operators.lsh import band_hashes
     from ..operators.verify import verify_pairs
@@ -194,10 +203,16 @@ def start_dedup_stream(
             "batch_id", F.lit(batch_id).cast("long")
         )
         fresh.write.mode("append").parquet(sketch_sink)
-        corpus = latest_sketches(spark, sketch_sink)
         new_ids = fresh.select("conv_id")
-        nb = band_hashes(corpus.join(new_ids, "conv_id"), cfg)
-        ab = band_hashes(corpus, cfg)
+        # fresh rows ARE each updated conversation's latest sketch, so the
+        # changed side's bands never need the corpus view
+        nb = band_hashes(fresh.select("conv_id", "minhash"), cfg)
+        if bands_sink is not None:
+            nb.withColumn("batch_id", F.lit(batch_id).cast("long")) \
+                .write.mode("append").parquet(bands_sink)
+            ab = latest_bands(spark, bands_sink)
+        else:
+            ab = band_hashes(latest_sketches(spark, sketch_sink), cfg)
         cand = (
             nb.select("band_id", "band_hash", F.col("conv_id").alias("id_x"))
             .join(ab.select("band_id", "band_hash", F.col("conv_id").alias("id_y")),
@@ -223,7 +238,14 @@ def start_dedup_stream(
             cand = cand.union(touched).distinct()
         except AnalysisException:
             pass  # first batch: no pairs sink yet
-        verified = verify_pairs(cand, corpus.select("conv_id", "minimizers"))
+        # the wide sketch rows are only needed for ids that appear in a
+        # candidate pair — semi-join before the latest-row aggregation so
+        # the groupBy shuffles candidate sketches, not the whole corpus
+        cand_ids = cand.select(F.col("id_a").alias("conv_id")).union(
+            cand.select(F.col("id_b").alias("conv_id"))
+        ).distinct()
+        needed = latest_sketches(spark, sketch_sink, only_ids=cand_ids)
+        verified = verify_pairs(cand, needed.select("conv_id", "minimizers"))
         # write EVERY re-verified pair (accepted or not): the latest row per
         # pair is the current verdict, so a pair that later diverges below
         # the threshold is retracted at read time instead of living forever
@@ -266,12 +288,54 @@ def latest_accepted_pairs(
     )
 
 
-def latest_sketches(spark: SparkSession, sink_path: str) -> DataFrame:
+def latest_sketches(
+    spark: SparkSession, sink_path: str, only_ids: DataFrame | None = None
+) -> DataFrame:
     """Current sketch per conversation = row with the highest batch_id
-    (ties impossible: one emission per conv per batch)."""
+    (ties impossible: one emission per conv per batch).  ``only_ids``
+    (a (conv_id) DataFrame) restricts the view BEFORE the latest-row
+    aggregation — the shuffle then carries only the requested
+    conversations' wide rows, not the whole corpus."""
     df = spark.read.parquet(sink_path)
+    if only_ids is not None:
+        df = df.join(only_ids.select("conv_id"), "conv_id")
     cols = [c for c in df.columns if c not in ("conv_id", "batch_id")]
     agg = df.groupBy("conv_id").agg(
         F.max_by(F.struct(*cols), F.col("batch_id")).alias("_s")
     )
     return agg.select("conv_id", *[F.col(f"_s.{c}").alias(c) for c in cols])
+
+
+def latest_bands(spark: SparkSession, bands_sink: str) -> DataFrame:
+    """Current (conv_id, band_id, band_hash) corpus band table from the
+    incrementally-appended bands sink: a conversation's band set is replaced
+    wholesale whenever it re-emits, so the current view keeps only its
+    highest-batch_id rows.  Thin rows (~24 B) — this is the per-batch
+    corpus-wide pass of the streaming dedup's production path."""
+    df = spark.read.parquet(bands_sink)
+    latest = df.groupBy("conv_id").agg(F.max("batch_id").alias("batch_id"))
+    return df.join(latest, ["conv_id", "batch_id"]).select(
+        "conv_id", "band_id", "band_hash"
+    )
+
+
+def compact_sink(spark: SparkSession, sink_path: str,
+                 view: DataFrame | None = None) -> None:
+    """Rewrite an append-only streaming sink down to its current view
+    (superseded rows accumulate forever otherwise — compaction bounds the
+    per-batch corpus passes over a long-lived stream).  ``view`` defaults to
+    the latest-row-per-conv_id view re-stamped at batch_id 0; pass
+    ``latest_bands(...)`` / ``latest_verified_pairs(...)`` output (with a
+    batch_id column added) to compact those sinks.  Local paths only: the
+    swap is an os-level replace, mirroring StageStore.swap_in semantics."""
+    import os
+    import shutil
+
+    if view is None:
+        view = latest_sketches(spark, sink_path).withColumn(
+            "batch_id", F.lit(0).cast("long")
+        )
+    pending = sink_path.rstrip("/") + "__compact"
+    view.write.mode("overwrite").parquet(pending)
+    shutil.rmtree(sink_path)
+    os.rename(pending, sink_path)

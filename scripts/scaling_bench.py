@@ -55,11 +55,14 @@ if os.environ.get("SB_TMPFS_DIR"):
     os.environ["SPARK_LOCAL_DIRS"] = _sd  # standalone workers read the env
     extra_conf["spark.local.dir"] = _sd
 if os.environ.get("SB_MODE") == "local-cluster":
-    # isolated executor JVMs: N/4 workers x 4 cores, own heap/GC per executor
-    workers = max(cpus // 4, 1)
+    # isolated executor JVMs: N/cores workers, own heap/GC per executor
+    # (SB_EXEC_CORES=1 gives one executor JVM per core — the purest
+    # "N executors vs 4N executors" realization this sandbox can express)
+    exec_cores = int(os.environ.get("SB_EXEC_CORES", "4"))
+    workers = max(cpus // exec_cores, 1)
     mem_mb = int(os.environ.get("SB_EXEC_MEM_MB", "6144"))
     os.environ["PYSPARK_SUBMIT_ARGS"] = (
-        f"--master local-cluster[{workers},4,{mem_mb}] pyspark-shell")
+        f"--master local-cluster[{workers},{exec_cores},{mem_mb}] pyspark-shell")
     extra_conf.update({
         "spark.executor.memory": f"{mem_mb - 1024}m",
         "spark.executorEnv.PYTHONPATH": os.environ["SB_REPO"],
@@ -125,10 +128,12 @@ print(json.dumps({
 
 def run_level(cpus: int, scheme: str, n_base: int, words: int,
               stage: str = "dedup", mode: str = "local", pin: bool = False,
-              tmpfs_dir: str = "") -> dict:
+              tmpfs_dir: str = "", exec_cores: int | None = None) -> dict:
     env = dict(os.environ, SB_REPO=REPO, SB_CPUS=str(cpus), SB_SCHEME=scheme,
                SB_NBASE=str(n_base), SB_WORDS=str(words), SB_STAGE=stage,
                SB_MODE=mode, SB_TMPFS_DIR=tmpfs_dir)
+    if exec_cores:
+        env["SB_EXEC_CORES"] = str(exec_cores)
     cmd = [sys.executable, "-c", _CHILD]
     if pin:
         # pin the whole process tree (driver JVM, executor JVMs, python
@@ -162,6 +167,9 @@ def main() -> None:
                     help="interleave the levels this many times (min across "
                          "passes per level — defends against host co-tenancy "
                          "drift between measurements)")
+    ap.add_argument("--exec-cores", type=int, default=None,
+                    help="cores per local-cluster executor (default 4; 1 = "
+                         "one executor JVM per core)")
     ap.add_argument("--shuffle-tmpfs", default=None, metavar="DIR",
                     help="put spark.local.dir (shuffle/spill) on a tmpfs, "
                          "e.g. /dev/shm: removes the shared-single-virtio-disk "
@@ -174,7 +182,8 @@ def main() -> None:
     for _ in range(args.alternations):
         for cpus in levels:
             r = run_level(cpus, args.scheme, args.n_base, args.words, args.stage,
-                          args.mode, args.pin, args.shuffle_tmpfs or "")
+                          args.mode, args.pin, args.shuffle_tmpfs or "",
+                          args.exec_cores)
             results.append(r)
             print(json.dumps(r), flush=True)
 
@@ -193,6 +202,7 @@ def main() -> None:
     summary = {"scheme": args.scheme, "stage": args.stage, "mode": args.mode,
                "pin": args.pin, "alternations": args.alternations,
                "shuffle_tmpfs": bool(args.shuffle_tmpfs),
+               "exec_cores": args.exec_cores or 4,
                "n_base": args.n_base, "words_per_turn": args.words,
                "levels": results, "pairs": pairs}
     print(json.dumps(summary), flush=True)

@@ -106,6 +106,37 @@ def test_two_committed_deltas_match_full_recompute(spark, tmp_path):
     assert store.load(spark, "clusters").count() == corpus.select("conv_id").distinct().count()
 
 
+def test_committed_delta_result_stable_after_commit(spark, tmp_path):
+    """Evaluating a commit=True DeltaResult AFTER the commit must return the
+    same candidates/verified rows as the run computed — the lazy plans would
+    otherwise re-scan the just-appended corpus tables and double-count the
+    delta (review finding r02); they are materialized as delta_* store
+    tables before the appends."""
+    corpus = synthetic_transcripts(spark, n_base=24, dup_factor=2, seed=55).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    part0 = corpus.where(idx % 2 == 0)
+    part1 = corpus.where(idx % 2 == 1)
+
+    store = StageStore(root=str(tmp_path / "s"))
+    run_dedup(spark, part0, CFG, store=store)
+    res = run_dedup_delta(spark, part1, CFG, store, commit=True)
+
+    # post-commit re-evaluation (fresh actions on the returned DataFrames)
+    cand_rows = [(r.id_a, r.id_b) for r in res.candidates.collect()]
+    ver_rows = [(r.id_a, r.id_b) for r in res.verified.collect()]
+    assert len(cand_rows) == len(set(cand_rows)), "candidates double-counted"
+    assert len(ver_rows) == len(set(ver_rows)), "verified double-counted"
+    # and they equal the durable lineage tables written pre-append
+    assert sorted(cand_rows) == sorted(
+        (r.id_a, r.id_b) for r in store.load(spark, "delta_candidates").collect()
+    )
+    assert sorted(ver_rows) == sorted(
+        (r.id_a, r.id_b) for r in store.load(spark, "delta_verified").collect()
+    )
+    # verified rows cover exactly the candidate set (no join-side dup blowup)
+    assert sorted(ver_rows) == sorted(cand_rows)
+
+
 def test_delta_requires_completed_store(spark, tmp_path):
     import pytest
 

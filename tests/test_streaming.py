@@ -60,6 +60,43 @@ def test_stream_matches_batch(spark, tmp_path):
 
 
 
+def test_compact_sink_preserves_latest_view(spark, tmp_path):
+    """compact_sink rewrites an append-only sink to one row per conv with
+    the latest view unchanged (bounds sink growth over a long stream)."""
+    from minimizer_jaccard_estimator_spark.streaming.sketch_stream import (
+        compact_sink,
+        latest_sketches,
+        start_sketch_stream,
+    )
+
+    src = str(tmp_path / "in")
+    sink = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    turns = synthetic_transcripts(spark, n_base=8, dup_factor=1, seed=3).cache()
+    for wave in range(2):
+        turns.where(turns.turn_idx % 2 == wave).coalesce(1).write.mode(
+            "append").parquet(src)
+    stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
+        "maxFilesPerTrigger", "1").parquet(src)
+    q = start_sketch_stream(spark, stream, CFG, sink, ckpt)
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    before = {r["conv_id"]: r for r in latest_sketches(spark, sink).collect()}
+    n_raw_before = spark.read.parquet(sink).count()
+    assert n_raw_before > len(before)  # superseded rows exist pre-compaction
+
+    compact_sink(spark, sink)
+    after = {r["conv_id"]: r for r in latest_sketches(spark, sink).collect()}
+    assert spark.read.parquet(sink).count() == len(before)
+    assert before.keys() == after.keys()
+    for cid, b in before.items():
+        for col in ("n_turns", "text_len", "minimizers", "minhash"):
+            assert after[cid][col] == b[col], (cid, col)
+
+
 def test_stream_incremental_updates_grow(spark, tmp_path):
     """A conversation's sketch refreshes as more of its turns arrive."""
     import pyspark.sql.functions as F
@@ -97,9 +134,15 @@ def test_stream_incremental_updates_grow(spark, tmp_path):
     assert hist[1]["n_shingles"] > hist[0]["n_shingles"]
 
 
-def test_streaming_dedup_matches_batch_clusters(spark, tmp_path):
+import pytest
+
+
+@pytest.mark.parametrize("use_bands_sink", [False, True])
+def test_streaming_dedup_matches_batch_clusters(spark, tmp_path, use_bands_sink):
     """Streamed candidates+verify converge to the batch pipeline's accepted
-    pairs and clusters when conversations arrive whole (no partial growth)."""
+    pairs and clusters when conversations arrive whole (no partial growth).
+    Parametrized over both band-table paths: recompute-from-sketch-sink
+    (demo) and the incrementally-appended bands sink (production)."""
     import pyspark.sql.functions as F
 
     from minimizer_jaccard_estimator_spark.operators.connected_components import (
@@ -125,12 +168,32 @@ def test_streaming_dedup_matches_batch_clusters(spark, tmp_path):
     stream = spark.readStream.schema(TRANSCRIPT_SCHEMA).option(
         "maxFilesPerTrigger", "1"
     ).parquet(src)
+    bands_sink = str(tmp_path / "bands") if use_bands_sink else None
     q = start_dedup_stream(spark, stream, CFG, sketch_sink, pairs_sink, ckpt,
-                           jaccard_threshold=0.5)
+                           jaccard_threshold=0.5, bands_sink=bands_sink)
     try:
         q.processAllAvailable()
     finally:
         q.stop()
+
+    if use_bands_sink:
+        # the bands sink's current view must equal bands recomputed from the
+        # current sketches (the demo path's source of truth)
+        from minimizer_jaccard_estimator_spark.operators.lsh import band_hashes
+        from minimizer_jaccard_estimator_spark.streaming.sketch_stream import (
+            latest_bands,
+            latest_sketches,
+        )
+
+        got_bands = {
+            (r.conv_id, r.band_id, r.band_hash)
+            for r in latest_bands(spark, bands_sink).collect()
+        }
+        want_bands = {
+            (r.conv_id, r.band_id, r.band_hash)
+            for r in band_hashes(latest_sketches(spark, sketch_sink), CFG).collect()
+        }
+        assert got_bands == want_bands
 
     stream_pairs = {
         (r.id_a, r.id_b)
