@@ -107,6 +107,7 @@ def main() -> None:
     for tag, path in (
         ("dedup_cluster", "SCALING_dedup_cluster.json"),
         ("dedup_cluster_2_8", "SCALING_dedup_cluster_2_8.json"),
+        ("sketch_cluster_2_8", "SCALING_sketch_cluster_2_8.json"),
         ("dedup_cluster_4_16", "SCALING_dedup_cluster_4_16.json"),
         ("dedup_cluster_tmpfs", "SCALING_dedup_cluster_tmpfs.json"),
         ("sketch_cluster", "SCALING_sketch_cluster.json"),

@@ -177,6 +177,17 @@ def run_dedup_delta(
     )
     candidates = exact.union(lsh).distinct()
 
+    # commit mode materializes candidates FIRST so (a) verify below reads the
+    # written table instead of re-running the whole candidate DAG (corpus
+    # band scan + union + distinct — the delta's most expensive non-UDF
+    # stage), and (b) the plans stop referencing old_sk/old_conv, which the
+    # commit appends below modify (post-append evaluation would double-count
+    # the delta rows).  The re-read delta_* tables are also durable lineage
+    # records that stay valid after the store is updated.
+    if commit:
+        candidates = store.materialize(spark, "delta_candidates", candidates,
+                                       resume=False)
+
     if cfg.staged_verify:
         verified = verify_pairs_staged(
             candidates, all_sk.select("conv_id", "minimizers", "minhash", "n_shingles"),
@@ -186,13 +197,6 @@ def run_dedup_delta(
         verified = verify_pairs(candidates, all_sk.select("conv_id", "minimizers"))
 
     if commit:
-        # materialize BEFORE anything downstream (and before the commit
-        # appends): these lazy plans scan old_sk/old_conv, so evaluating
-        # them after the appends would double-count the delta rows; the
-        # re-read tables also make the returned DataFrames durable lineage
-        # records that stay valid after the store is updated
-        candidates = store.materialize(spark, "delta_candidates", candidates,
-                                       resume=False)
         verified = store.materialize(spark, "delta_verified", verified,
                                      resume=False)
 

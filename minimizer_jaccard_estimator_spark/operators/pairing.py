@@ -52,7 +52,15 @@ def _range_boundaries(df: DataFrame, order_col: str, parts: int) -> list:
 def global_row_numbers(df: DataFrame, order_col: str, partitions: int | None = None) -> DataFrame:
     """df + ``rn`` (1-based dense global order by ``order_col``) computed with
     per-range parallelism.  ``order_col`` values must be unique (they are
-    the sort key; ties would make the order non-deterministic)."""
+    the sort key; ties would make the order non-deterministic).
+
+    Contract: ``df`` must be DETERMINISTIC under re-evaluation — this
+    operator runs one count, one boundary-sample collect, one per-pid count
+    pass, and the caller's final job as independent evaluations (the three
+    metadata passes are column-pruned to ``order_col``, so on columnar
+    sources they cost a fraction of the final job).  A nondeterministic
+    input (``sample()`` in its lineage, a table mutating between actions)
+    would pair wrong rows silently: persist such inputs first."""
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism
     bounds = _range_boundaries(df, order_col, parts)
     if bounds:

@@ -23,6 +23,42 @@ import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
 
 
+def replace_path(spark: SparkSession, dst: str, src: str) -> None:
+    """Replace the table directory at ``dst`` with the one at ``src``
+    (rename-rename-delete, both local paths and Hadoop FS ``://`` URIs).
+
+    Crash windows: the old table is parked at ``dst__old`` BEFORE the new
+    one moves in, so at every instant either ``dst`` or ``dst__old`` holds a
+    complete copy — a crash mid-swap is recovered by renaming ``__old``
+    back, never by re-deriving data.  A pre-existing ``dst`` is optional
+    (first-time creation swaps in cleanly on both backends)."""
+    old = dst.rstrip("/") + "__old"
+    if "://" in dst:
+        jvm_path = spark._jvm.org.apache.hadoop.fs.Path
+        jdst, jsrc, jold = jvm_path(dst), jvm_path(src), jvm_path(old)
+        fs = jdst.getFileSystem(spark._jsc.hadoopConfiguration())
+        if fs.exists(jold):
+            fs.delete(jold, True)
+        had_dst = fs.exists(jdst)
+        if had_dst and not fs.rename(jdst, jold):
+            raise OSError(f"rename {dst} -> {old} failed")
+        if not fs.rename(jsrc, jdst):
+            raise OSError(f"rename {src} -> {dst} failed")
+        if had_dst:
+            fs.delete(jold, True)
+    else:
+        import shutil
+
+        if os.path.exists(old):
+            shutil.rmtree(old)
+        had_dst = os.path.exists(dst)
+        if had_dst:
+            os.rename(dst, old)
+        os.rename(src, dst)
+        if had_dst:
+            shutil.rmtree(old)
+
+
 @dataclass
 class StageStore:
     """Checkpoint/resume + metrics for a pipeline run."""
@@ -77,23 +113,11 @@ class StageStore:
         return spark.read.format(self.format).load(self.path(stage))
 
     def swap_in(self, spark: SparkSession, stage: str, pending_stage: str) -> None:
-        """Replace ``stage``'s table with ``pending_stage``'s (delete + rename),
-        working for both local paths and Hadoop FS URIs (``://`` roots) — the
-        pattern for replacing a table some pending plan may still reference:
-        write the replacement to a side path first, then swap."""
-        if "://" in (self.root or ""):
-            jvm_path = spark._jvm.org.apache.hadoop.fs.Path
-            dst, src = jvm_path(self.path(stage)), jvm_path(self.path(pending_stage))
-            fs = dst.getFileSystem(spark._jsc.hadoopConfiguration())
-            if fs.exists(dst):
-                fs.delete(dst, True)
-            if not fs.rename(src, dst):
-                raise OSError(f"rename {src} -> {dst} failed")
-        else:
-            import shutil
-
-            shutil.rmtree(self.path(stage))
-            os.rename(self.path(pending_stage), self.path(stage))
+        """Replace ``stage``'s table with ``pending_stage``'s, working for
+        both local paths and Hadoop FS URIs (``://`` roots) — the pattern for
+        replacing a table some pending plan may still reference: write the
+        replacement to a side path first, then swap."""
+        replace_path(spark, self.path(stage), self.path(pending_stage))
 
     def materialize(
         self,

@@ -199,9 +199,12 @@ def start_dedup_stream(
     assembled = assemble_stream(turns, sep=sep, state_timeout_ms=state_timeout_ms)
 
     def emit(batch_df: DataFrame, batch_id: int) -> None:
+        # persist: three actions consume fresh per batch (sketch-sink write,
+        # bands write/join, the verify side) — without it each action re-runs
+        # the per-byte sketch UDF, tripling the dominant per-batch compute
         fresh = add_full_sketch(batch_df, cfg).drop("text").withColumn(
             "batch_id", F.lit(batch_id).cast("long")
-        )
+        ).persist()
         fresh.write.mode("append").parquet(sketch_sink)
         new_ids = fresh.select("conv_id")
         # fresh rows ARE each updated conversation's latest sketch, so the
@@ -252,6 +255,7 @@ def start_dedup_stream(
         verified.withColumn("batch_id", F.lit(batch_id).cast("long")).write.mode(
             "append"
         ).parquet(pairs_sink)
+        fresh.unpersist()
 
     return (
         assembled.writeStream.foreachBatch(emit)
@@ -323,19 +327,27 @@ def compact_sink(spark: SparkSession, sink_path: str,
                  view: DataFrame | None = None) -> None:
     """Rewrite an append-only streaming sink down to its current view
     (superseded rows accumulate forever otherwise — compaction bounds the
-    per-batch corpus passes over a long-lived stream).  ``view`` defaults to
-    the latest-row-per-conv_id view re-stamped at batch_id 0; pass
+    per-batch corpus passes over a long-lived stream).
+
+    MUST run with the stream STOPPED (between stream restarts): a
+    micro-batch appending after the view snapshot would be dropped by the
+    swap.  The swap itself goes through
+    :func:`..plans.catalog.replace_path` (rename-park-rename: a complete
+    copy exists at every instant, crash-recoverable, ``://`` roots
+    supported).
+
+    ``view`` defaults to the latest-row-per-conv_id view re-stamped at
+    batch_id -1 — a sentinel no real micro-batch ever writes (batch ids
+    start at 0), so a stream restarted with a FRESH checkpoint cannot tie
+    with compacted rows in the max_by(latest) views.  Pass
     ``latest_bands(...)`` / ``latest_verified_pairs(...)`` output (with a
-    batch_id column added) to compact those sinks.  Local paths only: the
-    swap is an os-level replace, mirroring StageStore.swap_in semantics."""
-    import os
-    import shutil
+    batch_id -1 column added) to compact those sinks."""
+    from ..plans.catalog import replace_path
 
     if view is None:
         view = latest_sketches(spark, sink_path).withColumn(
-            "batch_id", F.lit(0).cast("long")
+            "batch_id", F.lit(-1).cast("long")
         )
     pending = sink_path.rstrip("/") + "__compact"
     view.write.mode("overwrite").parquet(pending)
-    shutil.rmtree(sink_path)
-    os.rename(pending, sink_path)
+    replace_path(spark, sink_path, pending)

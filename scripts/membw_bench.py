@@ -35,25 +35,33 @@ import numpy as np
 
 
 def _worker(core: int, mb: int, seconds: float, barrier, out_q: mp.Queue) -> None:
-    os.sched_setaffinity(0, {core})
-    n = (mb * 1024 * 1024) // 8 // 3  # three arrays of n float64
-    b = np.ones(n)
-    c = np.full(n, 2.0)
-    a = np.empty(n)
-    s = 3.0
-    np.add(b, s * c, out=a)  # touch all pages before timing
-    barrier.wait()  # every process measures the SAME wall window
-    t0 = time.perf_counter()
-    passes = 0
-    while True:
-        np.multiply(c, s, out=a)
-        np.add(a, b, out=a)
-        passes += 1
-        el = time.perf_counter() - t0
-        if el >= seconds:
-            break
-    # triad moves 3 arrays + 1 intermediate store per pass ~ 4*n*8 bytes
-    out_q.put((core, passes * 4 * n * 8 / el / 1e9))
+    try:
+        os.sched_setaffinity(0, {core})
+        n = (mb * 1024 * 1024) // 8 // 3  # three arrays of n float64
+        b = np.ones(n)
+        c = np.full(n, 2.0)
+        a = np.empty(n)
+        s = 3.0
+        np.add(b, s * c, out=a)  # touch all pages before timing
+        barrier.wait(timeout=120)  # every process measures the SAME window
+        # (timeout: a sibling that died pre-barrier breaks the barrier for
+        # everyone instead of hanging the survivors forever)
+        t0 = time.perf_counter()
+        passes = 0
+        while True:
+            np.multiply(c, s, out=a)
+            np.add(a, b, out=a)
+            passes += 1
+            el = time.perf_counter() - t0
+            if el >= seconds:
+                break
+        # the two-op form moves 5 arrays/pass: read c + write a, then
+        # read a + read b + write a (a fused triad would move 4 — numpy
+        # has no fused op, so count what actually crosses the bus)
+        out_q.put((core, passes * 5 * n * 8 / el / 1e9))
+    except BaseException:  # noqa: BLE001 — a dead worker must not deadlock the run
+        out_q.put((core, float("nan")))
+        raise
 
 
 def run_level(p: int, mb: int, seconds: float) -> dict:
@@ -63,9 +71,11 @@ def run_level(p: int, mb: int, seconds: float) -> dict:
              for i in range(p)]
     for pr in procs:
         pr.start()
-    rates = [q.get()[1] for _ in procs]
+    rates = [q.get(timeout=seconds + 120)[1] for _ in procs]
     for pr in procs:
         pr.join()
+    if any(r != r for r in rates):  # NaN => a worker died (bad core/OOM)
+        raise RuntimeError(f"worker failure at procs={p}")
     return {
         "procs": p,
         "per_proc_gbps": round(float(np.mean(rates)), 2),

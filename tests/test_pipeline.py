@@ -179,6 +179,27 @@ def test_consecutive_pairs_ranged_matches_global_window(spark):
     assert got == expect and len(got) == 500
 
 
+def test_replace_path_swap_semantics(spark, tmp_path):
+    """replace_path: first-time creation works (no pre-existing dst), a
+    normal swap replaces contents, and no __old/__compact debris remains."""
+    import os
+
+    from minimizer_jaccard_estimator_spark.plans.catalog import replace_path
+
+    dst = str(tmp_path / "table")
+    src1 = str(tmp_path / "pending1")
+    spark.range(3).write.parquet(src1)
+    replace_path(spark, dst, src1)  # first-time: dst does not exist yet
+    assert spark.read.parquet(dst).count() == 3
+
+    src2 = str(tmp_path / "pending2")
+    spark.range(7).write.parquet(src2)
+    replace_path(spark, dst, src2)
+    assert spark.read.parquet(dst).count() == 7
+    assert not os.path.exists(dst + "__old")
+    assert not os.path.exists(src2)
+
+
 def test_exact_dup_pairs(spark):
     df = spark.createDataFrame(
         [("a", "same text"), ("b", "same text"), ("c", "other"), ("d", "same text")],

@@ -75,6 +75,6 @@ def test_j1_pairing_has_no_single_partition_window(spark):
 @pytest.mark.parametrize("name", ["a1_multiset_count", "events_window"])
 def test_aggregations_have_map_side_partial(spark, name):
     """groupBy aggregations must show two-phase hash aggregation (partial
-    before the exchange) so the shuffle carries combined rows."""
+    before the exchange) so the shuffle carries combined rows, not raw."""
     plan = _plan(entry_mod.queries()[name](spark, SF_DIR))
-    assert "partial_" in plan.lower() or "HashAggregate" in plan
+    assert "partial_" in plan.lower(), plan
