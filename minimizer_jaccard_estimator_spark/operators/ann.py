@@ -142,7 +142,12 @@ def embedding_neardup_pairs(
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
                               lambda s, x: s + x))
-    unit = emb.select(
+    # rows with a null or wrong-dimension vector are excluded from pairing
+    # (a single ragged batch would otherwise fail the whole job inside the
+    # bucket UDF's np.array(...) on inhomogeneous input)
+    unit = emb.where(
+        F.col(vec_col).isNotNull() & (F.size(vec_col) == F.lit(dim))
+    ).select(
         F.col(id_col),
         F.transform(v, lambda x: x / norm).alias("_u"),
     )

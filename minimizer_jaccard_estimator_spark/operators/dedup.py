@@ -22,7 +22,7 @@ from ..functions.sketch import SketchConfig, add_full_sketch
 from ..plans.catalog import StageStore
 from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
-from .lsh import exact_dup_pairs, lsh_candidate_pairs, simhash_filter
+from .lsh import band_hashes, exact_dup_pairs, lsh_candidate_pairs, simhash_filter
 from .substring import duplicate_spans, substring_dup_pairs
 from .verify import attach_pair_columns, verify_pairs, verify_pairs_staged
 
@@ -115,11 +115,28 @@ def run_dedup(
     if store.root is None:
         sketches = sketches.persist()
 
+    # -- incremental-ingestion side tables (store runs only): the 8 B/doc
+    # text digests and the ~24 B/row band table.  run_dedup_delta probes
+    # THESE instead of rehashing the corpus text / re-banding the wide
+    # signature rows — the difference between O(delta) and O(corpus bytes)
+    # per ingestion cycle.  Cost here is one narrow write each; the digest /
+    # band computations were needed by this run's candidate stage anyway.
+    digests = bands = None
+    if store.root is not None:
+        digests = store.materialize(
+            spark, "digests",
+            conv_text.select("conv_id", F.xxhash64("text").alias("digest")),
+        )
+        bands = store.materialize(
+            spark, "bands",
+            band_hashes(sketches.select("conv_id", "minhash"), cfg.sketch),
+        )
+
     # -- candidates: exact-dup fast path ∪ LSH band buckets
     # exact is needed again in the clusters stage (short-text dup bypass);
     # persist so the digest groupBy runs once, and register internal LSH
     # caches for release once the pipeline's outputs are materialized
-    exact = exact_dup_pairs(conv_text).persist()
+    exact = exact_dup_pairs(conv_text, digests=digests).persist()
     caches: list[DataFrame] = [exact]
     if store.exists("candidates"):
         candidates = store.load(spark, "candidates")
@@ -130,6 +147,7 @@ def run_dedup(
             max_bucket_size=cfg.max_bucket_size,
             with_dropped=want_dropped,
             cache_registry=caches,
+            bands=bands,
         )
         if want_dropped:
             # no silent caps: record exactly which hot buckets were excluded

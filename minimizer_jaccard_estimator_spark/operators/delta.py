@@ -9,17 +9,23 @@ old documents and without re-running LSH over old-vs-old pairs:
    runs on the delta, not the corpus);
 2. candidates = exact-digest matches and LSH band joins of NEW docs against
    (old ∪ new) docs — old-vs-old pairs were already resolved by the prior
-   run and are represented by its cluster assignments;
+   run and are represented by its cluster assignments.  The OLD side is
+   probed through the store's incremental ``digests`` (8 B/doc) and
+   ``bands`` (~24 B/row) tables that ``run_dedup`` materializes and each
+   committed delta appends to — the corpus text is never rehashed and the
+   wide signature rows are never re-banded (stores from before these stages
+   existed are migrated in place: one O(corpus) backfill, incremental after);
 3. exact minimizer-Jaccard verify of those candidates;
 4. connected components over (prior same-cluster edges ∪ new accepted
    pairs): a new document can merge two previously-separate clusters, which
    plain "assign to nearest cluster" schemes get wrong.
 
 Equivalence with a full recompute at the same config is tested
-(tests/test_delta.py).  Cost model at scale: sketching is O(new bytes), the
-band join is O(new docs x bands) probing the corpus band table, CC runs on
-the (sparse) cluster-edge graph, so a 1% daily delta costs ~1% of a full
-run plus one corpus-wide band-table scan.
+(tests/test_delta.py).  Cost model at scale: sketching is O(new bytes); the
+band probe semi-joins the corpus band table down to the buckets the delta
+touches before any aggregation, so per-delta shuffle volume is O(delta
+bands + touched-bucket membership) and the only corpus-wide work left is
+the narrow columnar band/digest scans and the verify join's sketch lookup.
 """
 
 from __future__ import annotations
@@ -67,13 +73,16 @@ def run_dedup_delta(
     prior run at the SAME sketch config).
 
     ``commit=True`` folds the results back into the store — appends the new
-    conv_text/sketches rows and atomically replaces the clusters stage with
-    the updated assignment — so repeated daily deltas each dedup against the
-    FULL corpus including earlier deltas (and the conv_id-overlap guard sees
-    them).  Without commit the store is untouched: the result is a
-    read-only what-if, and a SECOND delta against the same store would
-    silently miss new-vs-prior-delta duplicates — hence commit is the mode
-    for production ingestion loops.
+    conv_text/sketches/digests/bands rows and atomically replaces the
+    clusters stage with the updated assignment — so repeated daily deltas
+    each dedup against the FULL corpus including earlier deltas (and the
+    conv_id-overlap guard sees them).  Without commit the store's SEMANTIC
+    state is untouched: the result is a read-only what-if, and a SECOND
+    delta against the same store would silently miss new-vs-prior-delta
+    duplicates — hence commit is the mode for production ingestion loops.
+    (One carve-out: a store from before the incremental digests/bands stages
+    existed gets those derived probe tables backfilled in place on first use
+    — caches of the already-committed corpus, no semantic change.)
     """
     if cfg.simhash_max_hamming is not None or cfg.substring_min_len is not None:
         # these would make delta results diverge from a full recompute at
@@ -127,13 +136,23 @@ def run_dedup_delta(
     new_digests = new_conv.select(
         F.col("conv_id").alias("_nid"), F.xxhash64("text").alias("_h")
     )
+    # old digests come from the store's incremental digests table (8 B/doc,
+    # appended by every committed delta) — never by rehashing the corpus
+    # text.  Pre-bands/digests stores are migrated in place (one backfill).
+    if store.exists("digests", spark):
+        old_digest_tbl = store.load(spark, "digests")
+    else:
+        old_digest_tbl = store.materialize(
+            spark, "digests",
+            old_conv.select("conv_id", F.xxhash64("text").alias("digest")),
+        )
     # anchor preference: an OLD group member if the digest exists in the
     # corpus (links the new doc into the existing cluster), else the min new
     # id (links new-vs-new duplicate groups); a min over old ∪ new could pick
     # a new id smaller than every old member, which would leave that new doc
     # anchorless against the old group
     old_anchor = (
-        old_conv.select("conv_id", F.xxhash64("text").alias("_h"))
+        old_digest_tbl.select("conv_id", F.col("digest").alias("_h"))
         .groupBy("_h").agg(F.min("conv_id").alias("_old"))
     )
     new_anchor = new_digests.groupBy("_h").agg(F.min("_nid").alias("_new"))
@@ -149,13 +168,29 @@ def run_dedup_delta(
         )
     )
 
-    # LSH: new bands probe the (old ∪ new) band table
+    # LSH: new bands probe the (old ∪ new) band table.  Old bands come from
+    # the store's incremental bands stage (~24 B/row, appended by every
+    # committed delta) — the corpus signature rows are never re-banded.
     nb = band_hashes(new_sk.select("conv_id", "minhash"), cfg.sketch)
-    ab = band_hashes(all_sk.select("conv_id", "minhash"), cfg.sketch)
+    if store.exists("bands", spark):
+        old_bands = store.load(spark, "bands")
+    else:
+        old_bands = store.materialize(
+            spark, "bands",
+            band_hashes(old_sk.select("conv_id", "minhash"), cfg.sketch),
+        )
+    ab = old_bands.unionByName(nb)
+    # only buckets the DELTA touches can emit pairs: semi-join the corpus
+    # band table down to those first (the delta key set is small — AQE
+    # broadcasts it), so the size aggregation and the pair join below shuffle
+    # touched-bucket rows only, never the whole corpus band table
+    touched = nb.select("band_id", "band_hash").distinct()
+    ab = ab.join(touched, ["band_id", "band_hash"], "leftsemi")
     if cfg.max_bucket_size is not None:
         sizes = ab.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n")).persist()
         caches.append(sizes)
         # no silent caps: record the excluded hot buckets like run_dedup does
+        # (scoped to delta-touched buckets — the only ones this run consults)
         store.materialize(
             spark, "delta_lsh_dropped_buckets",
             sizes.where(F.col("_n") > cfg.max_bucket_size).select(
@@ -225,9 +260,11 @@ def run_dedup_delta(
         #    the old tables too; also never overwrite a table a pending plan
         #    still scans).  A crash before step 2 leaves the store
         #    semantically untouched;
-        # 2. append the delta's conv_text/sketches rows.  A crash between
-        #    the appends and the swap is caught LOUDLY by the conv_text
-        #    overlap guard on retry (see above);
+        # 2. append the delta's conv_text/sketches rows, then its
+        #    digests/bands rows (the incremental probe tables future deltas
+        #    read instead of rescanning the corpus).  conv_text goes FIRST:
+        #    a crash anywhere between the appends and the swap is caught
+        #    LOUDLY by the conv_text overlap guard on retry (see above);
         # 3. swap the clusters table (delete + rename via StageStore.swap_in,
         #    which also handles remote :// roots through the Hadoop FS API).
         clusters.write.mode("overwrite").format(store.format) \
@@ -236,6 +273,11 @@ def run_dedup_delta(
             .format(store.format).save(store.path("conv_text"))
         new_sk.select(*old_sk.columns).write.mode("append") \
             .format(store.format).save(store.path("sketches"))
+        new_digests.select(
+            F.col("_nid").alias("conv_id"), F.col("_h").alias("digest")
+        ).write.mode("append").format(store.format).save(store.path("digests"))
+        nb.select("conv_id", "band_id", "band_hash").write.mode("append") \
+            .format(store.format).save(store.path("bands"))
         store.swap_in(spark, "clusters", "clusters__pending")
         clusters = store.load(spark, "clusters")
         # everything is on disk now; release the internal caches (ADVICE:

@@ -47,6 +47,7 @@ def lsh_candidate_pairs(
     max_bucket_size: int | None = 1000,
     with_dropped: bool = False,
     cache_registry: list | None = None,
+    bands: DataFrame | None = None,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
 
@@ -63,11 +64,17 @@ def lsh_candidate_pairs(
     therefore bounded by ``max_bucket_size`` ids.
 
     ``with_dropped=True`` additionally returns the (band_id, band_hash,
-    n_docs) buckets the cap excluded — derived from the SAME count aggregate
-    (no silent caps, no recompute).  When it is used, that (tiny) aggregate
-    is persisted and appended to ``cache_registry`` (when given) so the
-    caller can unpersist it once both outputs are materialized."""
-    b = band_hashes(signatures, cfg, id_col)
+    n_docs) buckets the cap excluded.  When ``cache_registry`` is given the
+    (tiny) count aggregate is persisted and appended to it so BOTH outputs
+    derive from one computation and the caller unpersists it once they are
+    materialized; without a registry the dropped table recomputes the
+    (map-side-combined, cheap) aggregate instead — persisting with nobody to
+    unpersist would pin executor storage memory for the session lifetime.
+
+    ``bands`` short-circuits the band computation with a precomputed
+    (id, band_id, band_hash) table (e.g. the checkpointed corpus bands stage)
+    — the signature transform then never re-runs over those rows."""
+    b = bands if bands is not None else band_hashes(signatures, cfg, id_col)
     sizes = (
         b.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("_n"))
@@ -76,8 +83,8 @@ def lsh_candidate_pairs(
     dropped = None
     if max_bucket_size is not None:
         if with_dropped:
-            sizes = sizes.persist()
             if cache_registry is not None:
+                sizes = sizes.persist()
                 cache_registry.append(sizes)
             dropped = sizes.where(F.col("_n") > max_bucket_size).select(
                 "band_id", "band_hash", F.col("_n").cast("long").alias("n_docs")
@@ -134,10 +141,20 @@ def simhash_filter(pairs_with_simhash: DataFrame, max_hamming: int = 16) -> Data
     return pairs_with_simhash.where(dist <= F.lit(max_hamming))
 
 
-def exact_dup_pairs(conv_text: DataFrame, id_col: str = "conv_id", text_col: str = "text") -> DataFrame:
+def exact_dup_pairs(
+    conv_text: DataFrame, id_col: str = "conv_id", text_col: str = "text",
+    digests: DataFrame | None = None,
+) -> DataFrame:
     """Exact-duplicate fast path: group by text hash, pair everything with the
-    group's min id (star pairs, linear not quadratic in group size)."""
-    h = conv_text.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
+    group's min id (star pairs, linear not quadratic in group size).
+
+    ``digests`` short-circuits the hashing with a precomputed (id, digest)
+    table (8 B/doc — the checkpointed digests stage) so the text column is
+    never rescanned."""
+    if digests is not None:
+        h = digests.select(F.col(id_col), F.col("digest").alias("_h"))
+    else:
+        h = conv_text.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
     mins = h.groupBy("_h").agg(F.min(id_col).alias("id_a"), F.count("*").alias("_n"))
     return (
         h.join(mins.where(F.col("_n") > 1), "_h")

@@ -30,16 +30,23 @@ def _suffix_array_levels(data: np.ndarray) -> tuple[np.ndarray, list[tuple[int, 
     at every position; two positions share a rank_k iff those substrings are
     equal.  The snapshots power the fully-vectorized LCP computation below
     (binary lifting) — no per-character Python loops anywhere.
+
+    Memory bound: the log2(n) retained snapshots are int32 for any input
+    this code can see (ranks < n < 2^31), i.e. ~4*ceil(log2 n) bytes/char —
+    ~120 B/char at n=1M — bounded per task by the substring pass's
+    concat-group cap (operators/substring.py), not by document count.
     """
     data = np.asarray(data)
     n = data.shape[0]
     if n == 0:
         return _EMPTY_I64, []
-    rank = np.unique(data, return_inverse=True)[1].astype(np.int64)
+    # int32 halves snapshot memory; ranks are < n so this is exact
+    dtype = np.int32 if n < 2**31 else np.int64
+    rank = np.unique(data, return_inverse=True)[1].astype(dtype)
     levels: list[tuple[int, np.ndarray]] = [(1, rank)]
     k = 1
     while True:
-        second = np.full(n, -1, dtype=np.int64)
+        second = np.full(n, -1, dtype=dtype)
         if k < n:
             second[: n - k] = rank[k:]
         order = np.lexsort((second, rank))
@@ -47,7 +54,7 @@ def _suffix_array_levels(data: np.ndarray) -> tuple[np.ndarray, list[tuple[int, 
         diff = np.empty(n, dtype=np.int64)
         diff[0] = 0
         diff[1:] = ((r1[1:] != r1[:-1]) | (r2[1:] != r2[:-1])).astype(np.int64)
-        new_rank = np.empty(n, dtype=np.int64)
+        new_rank = np.empty(n, dtype=dtype)
         new_rank[order] = np.cumsum(diff)
         rank = new_rank
         k *= 2

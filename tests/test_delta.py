@@ -137,6 +137,71 @@ def test_committed_delta_result_stable_after_commit(spark, tmp_path):
     assert sorted(ver_rows) == sorted(cand_rows)
 
 
+def test_delta_probes_incremental_tables_not_corpus(spark, tmp_path):
+    """The delta's candidate plan must read the store's incremental
+    digests/bands tables and never rescan the corpus sketches/conv_text
+    tables — the O(delta)-per-ingestion-cycle property (VERDICT r02 #2):
+    band hashes are not recomputed over the full corpus signature table and
+    the corpus text is not rehashed."""
+    import os
+
+    corpus = synthetic_transcripts(spark, n_base=30, dup_factor=2, seed=9).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 3 != 0)
+    new = corpus.where(idx % 3 == 0)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, CFG, store=store)
+    # run_dedup materialized the incremental probe tables
+    assert store.exists("bands") and store.exists("digests")
+
+    res = run_dedup_delta(spark, new, CFG, store)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = res.candidates._jdf.queryExecution().explainString(mode)
+    assert os.path.join(store.root, "bands") in plan
+    assert os.path.join(store.root, "digests") in plan
+    assert os.path.join(store.root, "sketches") not in plan, \
+        "candidate stage re-banded the corpus signature table"
+    assert os.path.join(store.root, "conv_text") not in plan, \
+        "candidate stage rehashed the corpus text"
+
+    # committed deltas append to the probe tables so the NEXT delta probes
+    # them incrementally too
+    n_bands_before = store.load(spark, "bands").count()
+    res2 = run_dedup_delta(spark, new, CFG, store, commit=True)
+    assert store.load(spark, "bands").count() == \
+        n_bands_before + res2.new_sketches.count() * CFG.sketch.lsh_bands
+    assert store.load(spark, "digests").count() == \
+        store.load(spark, "conv_text").count()
+    res.release()
+    res2.release()
+
+
+def test_delta_migrates_legacy_store_without_probe_tables(spark, tmp_path):
+    """A store created before the digests/bands stages existed is backfilled
+    in place on first delta use (one O(corpus) pass), and the delta result
+    still matches a full recompute."""
+    import shutil
+
+    corpus = synthetic_transcripts(spark, n_base=30, dup_factor=2, seed=31).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 3 != 0)
+    new = corpus.where(idx % 3 == 0)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, CFG, store=store)
+    # simulate a round-2-era store: no probe tables
+    shutil.rmtree(store.path("bands"))
+    shutil.rmtree(store.path("digests"))
+
+    delta = run_dedup_delta(spark, new, CFG, store)
+    full = run_dedup(spark, corpus, CFG)
+    assert _canon(delta.clusters) == _canon(full.clusters)
+    # migrated in place: subsequent deltas probe incrementally
+    assert store.exists("bands") and store.exists("digests")
+
+
 def test_delta_requires_completed_store(spark, tmp_path):
     import pytest
 
