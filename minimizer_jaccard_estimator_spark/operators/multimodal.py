@@ -160,27 +160,35 @@ def exact_media_dup_pairs(features: DataFrame) -> DataFrame:
 
 
 def media_neardup_pairs(
-    features: DataFrame, threshold: float = 0.95, max_bucket_size: int | None = 1000
+    features: DataFrame,
+    threshold: float = 0.95,
+    max_bucket_size: int | None = 1000,
+    n_planes: int = 12,
+    n_tables: int = 8,
+    seed: int = 42,
 ) -> DataFrame:
-    """Near-dup media pairs by feature cosine >= threshold.
+    """Near-dup media pairs (id_a < id_b) by feature cosine >= threshold.
 
-    Candidate generation buckets on the sign pattern of the first 16 feature
-    dims (a 16-bit random-hyperplane LSH given the stub features are
-    hash-mixed); exact cosine verifies inside each bucket — same
-    candidates->verify shape as the text pipeline.
+    Delegates to the dimension-generic seeded Gaussian random-hyperplane LSH
+    operator (:func:`.ann.embedding_neardup_pairs`) on the feature vectors —
+    one implementation with a real spherical-symmetry recall guarantee
+    (1-(1-p^n_planes)^n_tables), bucketed candidate generation with in-JVM
+    pair expansion, and exact cosine verification; never an all-pairs join.
+    Recall vs the brute-force pairs is pytest-verified
+    (tests/test_multimodal.py).
     """
-    sig = F.xxhash64(
-        F.transform(F.slice("features", 1, 16), lambda x: (x > 0.088).cast("int"))
+    from .ann import embedding_neardup_pairs
+
+    return embedding_neardup_pairs(
+        features.select("media_id", "features"),
+        threshold=threshold,
+        n_planes=n_planes,
+        n_tables=n_tables,
+        seed=seed,
+        max_bucket_size=max_bucket_size,
+        id_col="media_id",
+        vec_col="features",
     )
-    b = features.select("media_id", "features", sig.alias("bucket"))
-    if max_bucket_size is not None:
-        sizes = b.groupBy("bucket").agg(F.count("*").alias("_n"))
-        b = b.join(sizes.where(F.col("_n") <= max_bucket_size).drop("_n"), "bucket")
-    a = b.select("bucket", F.col("media_id").alias("id_a"), F.col("features").alias("fa"))
-    c = b.select("bucket", F.col("media_id").alias("id_b"), F.col("features").alias("fb"))
-    j = a.join(c, "bucket").where(F.col("id_a") < F.col("id_b"))
-    dot = F.aggregate(F.zip_with("fa", "fb", lambda x, y: x * y), F.lit(0.0), lambda s, x: s + x)
-    return j.select("id_a", "id_b", dot.alias("cosine")).where(F.col("cosine") >= threshold)
 
 
 def synthetic_media(docs: DataFrame, kind_col: str | None = None) -> DataFrame:

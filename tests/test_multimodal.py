@@ -85,3 +85,32 @@ def test_exact_and_near_dup_pairs(spark):
     assert got <= near_ids
     for r in near:
         assert r.cosine >= 0.999
+
+
+def test_media_neardup_recall_vs_brute_force(spark):
+    """media_neardup_pairs (delegating to the Gaussian-hyperplane LSH) must
+    recover every brute-force cosine>=threshold pair of the stub features —
+    the recall evidence for the one-implementation routing (VERDICT r02 #4)."""
+    import pyspark.sql.functions as F
+
+    feats = extract_features(synthetic_media(_docs(spark, 60)), dim=32).cache()
+    thr = 0.95
+    # brute-force truth: all-pairs cosine on the (unit-norm) stub features
+    a = feats.select(F.col("media_id").alias("id_a"), F.col("features").alias("fa"))
+    b = feats.select(F.col("media_id").alias("id_b"), F.col("features").alias("fb"))
+    dot = F.aggregate(F.zip_with("fa", "fb", lambda x, y: x * y), F.lit(0.0),
+                      lambda s, x: s + x)
+    truth = {
+        (r.id_a, r.id_b)
+        for r in a.crossJoin(b).where(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", dot.alias("cosine"))
+        .where(F.col("cosine") >= thr).collect()
+    }
+    assert truth, "fixture must contain planted near-dups"
+    got = {(r.id_a, r.id_b)
+           for r in media_neardup_pairs(feats, threshold=thr).collect()}
+    # exact-copy features collide in every table (p=1); sub-1.0 pairs rely on
+    # the 12x8 hyperplane design => demand full recovery on this fixture
+    assert truth <= got, f"missing pairs: {truth - got}"
+    # and no false accepts below the threshold (exact verify)
+    assert got <= truth
