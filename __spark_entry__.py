@@ -159,10 +159,20 @@ def q_ngram_jaccard(spark, sf):
 
 
 def q_exact_dedup(spark, sf):
-    """Exact dedup: duplicate-text groups, keeper = min doc_id."""
-    d = _t(spark, sf, "documents")
+    """Exact dedup: duplicate-text groups, keeper = min doc_id.
+
+    The documents fixture has no natural duplicate texts (a 0-row result
+    proves nothing — VERDICT r02 #5), so the query SELF-SEEDS: it unions a
+    doc_id+1000000 copy of every 50th document inside the query, and the
+    oracle SQL seeds identically, so both engines must recover the same
+    planted groups."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.where(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
     return (
-        d.groupBy("text")
+        seeded.groupBy("text")
         .agg(F.min("doc_id").alias("keeper_id"), F.count("*").alias("n_copies"))
         .where(F.col("n_copies") > 1)
         .select("keeper_id", "n_copies")
@@ -396,15 +406,17 @@ def q_ann_cosine_topk(spark, sf):
 # ---------------------------------------------------------------------------
 
 def q_minimizer_sketch(spark, sf):
-    """H5+W1: per-doc minimizer sketch stats."""
+    """H5+W1: per-doc sketch stats through the Arrow sketch UDF.
+
+    n_shingles (= max(0, len-k+1)) and n_dups (= shingles whose hash was
+    seen before, reference count_duplicates) ARE SQL-expressible under the
+    same fingerprint-injectivity assumption pairwise_report_exact already
+    relies on, so this query is DuckDB-oracled (VERDICT r02 #6).  The
+    minimizer count itself is not SQL-expressible; it is pinned by kernel
+    parity tests (tests/test_kernels.py) and the w1_window_min oracle."""
     d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("conv_id"), "text")
     sk = add_sketch(d, _SKETCH)
-    return sk.select(
-        "conv_id",
-        F.size("minimizers").alias("n_minimizers"),
-        "n_shingles",
-        "n_dups",
-    ).orderBy("conv_id")
+    return sk.select("conv_id", "n_shingles", "n_dups").orderBy("conv_id")
 
 
 def q_minhash_lsh_candidates(spark, sf):
@@ -512,11 +524,25 @@ def q_lang_id(spark, sf):
     )
 
 
+def _seeded_embeddings(spark, sf) -> DataFrame:
+    """embeddings ∪ a vec_id+1000000 copy of every 100th vector — planted
+    exact near-dups (cosine 1.0) so the near-dup oracles compare non-empty
+    results (VERDICT r02 #5: a 0-row match can't distinguish a correct
+    operator from one that drops everything).  The oracle SQL seeds
+    identically."""
+    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    return emb.unionByName(
+        emb.where(F.col("vec_id") % 100 == 0)
+        .select((F.col("vec_id") + 1000000).alias("vec_id"), "embedding")
+    )
+
+
 def q_embedding_neardup(spark, sf):
     """Embedding-cosine near-dup pairs: all (i < j) vector pairs with cosine
     >= 0.99 — the brute-force oracle path of similarity dedup (JVM-side
-    higher-order array functions, no Python)."""
-    emb = _t(spark, sf, "embeddings").select(
+    higher-order array functions, no Python).  Self-seeded with planted
+    exact duplicates (see _seeded_embeddings)."""
+    emb = _seeded_embeddings(spark, sf).select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
     )
     norm = F.sqrt(F.aggregate(F.transform("v", lambda a: a * a), F.lit(0.0), lambda s, x: s + x))
@@ -537,13 +563,22 @@ def q_embedding_neardup_lsh(spark, sf):
     cosine verify (operators/ann.py:embedding_neardup_pairs) — the SCALE path
     the crossJoin query above oracles: bucketed candidates, never all-pairs.
     Same oracle SQL; recall >= 0.95 vs brute force is pytest-verified on
-    planted near-dups (tests/test_ann.py)."""
+    planted near-dups (tests/test_ann.py).
+
+    FIXTURE DEPENDENCE (ADVICE r02): this query demands exact equality with
+    the brute-force oracle, which a probabilistic LSH can only promise when
+    every >=threshold pair collides with probability ~1.  That holds here:
+    the planted near-dups are IDENTICAL copies (hyperplane collision p=1 in
+    every table) and the natural fixture has no 0.99-boundary pairs; the
+    bucket cap is disabled and n_tables raised so no bucket is silently
+    dropped.  Statistical (not exact) recall lives in tests/test_ann.py."""
     from minimizer_jaccard_estimator_spark.operators.ann import embedding_neardup_pairs
 
-    emb = _t(spark, sf, "embeddings").select("vec_id", "embedding")
+    emb = _seeded_embeddings(spark, sf)
     # operator threshold sits just below the oracle's ROUNDED >= 0.99 cut so
     # boundary pairs (exact 0.98995..0.99) survive to the rounded filter
-    pairs = embedding_neardup_pairs(emb, threshold=0.9899)
+    pairs = embedding_neardup_pairs(emb, threshold=0.9899, n_tables=16,
+                                    max_bucket_size=None)
     return (
         pairs.select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .where(F.col("cosine") >= 0.99)
@@ -622,8 +657,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "shingle_profile": q_shingle_profile,
         "events_session_window": q_events_session_window,
         "ann_cosine_topk": q_ann_cosine_topk,
-        # kernel-backed (rows-only checks)
         "minimizer_sketch": q_minimizer_sketch,
+        # kernel-backed (rows-only checks)
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "dedup_clusters": q_dedup_clusters,
         "verified_pairs": q_verified_pairs,
@@ -704,8 +739,14 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a
         """,
         "exact_dedup": """
+            WITH seeded AS (
+              SELECT doc_id, text FROM documents
+              UNION ALL
+              SELECT doc_id + 1000000 AS doc_id, text FROM documents
+              WHERE doc_id % 50 = 0
+            )
             SELECT min(doc_id) AS keeper_id, count(*) AS n_copies
-            FROM documents GROUP BY text HAVING count(*) > 1 ORDER BY keeper_id
+            FROM seeded GROUP BY text HAVING count(*) > 1 ORDER BY keeper_id
         """,
         "doc_fingerprint": """
             SELECT source, count(DISTINCT md5(text)) AS n_unique, count(*) AS n_docs
@@ -884,12 +925,18 @@ def oracle_sql() -> dict[str, str]:
             FROM p GROUP BY lang_pred ORDER BY lang_pred
         """,
         "embedding_neardup_lsh": """
-            WITH e AS (
+            WITH seeded AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id % 100 = 0
+            ),
+            e AS (
               SELECT vec_id,
                      list_transform(CAST(embedding AS DOUBLE[]),
                                     x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                                    CAST(embedding AS DOUBLE[])))) AS u
-              FROM embeddings
+              FROM seeded
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(a.u, b.u), 4) AS cosine
@@ -898,18 +945,40 @@ def oracle_sql() -> dict[str, str]:
             ORDER BY id_a, id_b
         """,
         "embedding_neardup": """
-            WITH e AS (
+            WITH seeded AS (
+              SELECT vec_id, embedding FROM embeddings
+              UNION ALL
+              SELECT vec_id + 1000000 AS vec_id, embedding FROM embeddings
+              WHERE vec_id % 100 = 0
+            ),
+            e AS (
               SELECT vec_id,
                      list_transform(CAST(embedding AS DOUBLE[]),
                                     x -> x / sqrt(list_dot_product(CAST(embedding AS DOUBLE[]),
                                                                    CAST(embedding AS DOUBLE[])))) AS u
-              FROM embeddings
+              FROM seeded
             )
             SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                    round(list_dot_product(a.u, b.u), 4) AS cosine
             FROM e a JOIN e b ON a.vec_id < b.vec_id
             WHERE round(list_dot_product(a.u, b.u), 4) >= 0.99
             ORDER BY id_a, id_b
+        """,
+        "minimizer_sketch": """
+            WITH g AS (
+              SELECT doc_id,
+                     unnest([substring(text, i, 8) for i in generate_series(1, length(text) - 7)]) AS sh
+              FROM documents WHERE length(text) >= 8
+            ),
+            per AS (
+              SELECT doc_id, count(*) AS n_sh, count(DISTINCT sh) AS n_distinct
+              FROM g GROUP BY doc_id
+            )
+            SELECT CAST(d.doc_id AS VARCHAR) AS conv_id,
+                   CAST(coalesce(per.n_sh, 0) AS BIGINT) AS n_shingles,
+                   CAST(coalesce(per.n_sh - per.n_distinct, 0) AS BIGINT) AS n_dups
+            FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
+            ORDER BY conv_id
         """,
         "media_digest": """
             SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,
