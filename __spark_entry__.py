@@ -106,8 +106,9 @@ def q_j1_pair_zip_join(spark, sf):
     """J1 consecutive pairing within one ordered stream (fasta_pairs chunk
     mode, jaccard_correction_test.py:857-895) — production form: range
     repartition + per-partition row numbers + O(#partitions) driver offsets
-    (operators/pairing.py), never a single-partition global window; parity
-    with the global-window form is pytest-tested."""
+    (operators/pairing.py).  Size-gated: below 1M rows (all test SFs) the
+    single-window form wins — one job instead of four; at scale the ranged
+    plan has no SinglePartition exchange (both pytest-asserted)."""
     from minimizer_jaccard_estimator_spark.operators.pairing import (
         consecutive_pairs_ranged,
     )

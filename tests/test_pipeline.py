@@ -162,7 +162,10 @@ def test_consecutive_pairs_ranged_matches_global_window(spark):
         .repartition(16)
     got = {
         (r["pair_id"], r["key_a"], r["key_b"], r["v_a"], r["v_b"])
-        for r in consecutive_pairs_ranged(df, "k", partitions=8).collect()
+        # threshold=0 forces the ranged plan (the size gate would otherwise
+        # route this small fixture to the identical-by-construction window)
+        for r in consecutive_pairs_ranged(
+            df, "k", partitions=8, small_input_threshold=0).collect()
     }
     w = Window.orderBy("k")
     rn = df.withColumn("rn", F.row_number().over(w))

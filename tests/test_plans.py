@@ -63,13 +63,27 @@ def test_sketch_path_is_arrow_not_python_udf(spark):
 
 
 def test_j1_pairing_has_no_single_partition_window(spark):
-    """The production consecutive-pairing plan must not contain a
+    """The at-scale consecutive-pairing plan must not contain a
     single-partition global window (the scale hazard the ranged operator
-    removes); its window partitions by the range pid."""
-    plan = _plan(entry_mod.queries()["j1_pair_zip_join"](spark, SF_DIR))
+    removes); its window partitions by the range pid.  The operator
+    size-gates to the cheap single-window form below 1M rows (VERDICT r02
+    #5), so the scale plan is forced with small_input_threshold=0."""
+    from minimizer_jaccard_estimator_spark.operators.pairing import (
+        consecutive_pairs_ranged,
+    )
+
+    o = spark.read.parquet(f"{SF_DIR}/orders.parquet").select(
+        "o_orderkey", "o_totalprice"
+    )
+    plan = _plan(consecutive_pairs_ranged(o, "o_orderkey",
+                                          small_input_threshold=0))
     # a global window shows as 'Window [...], [o_orderkey ASC...]' with no
     # partition spec and forces Exchange SinglePartition right before it
     assert "SinglePartition" not in plan
+    # and the gate engages below threshold: the driver query's small-scale
+    # plan is the one-window form (no 4-job metadata tax at parity scale)
+    gated = _plan(entry_mod.queries()["j1_pair_zip_join"](spark, SF_DIR))
+    assert "SinglePartition" in gated
 
 
 @pytest.mark.parametrize("name", ["a1_multiset_count", "events_window"])
