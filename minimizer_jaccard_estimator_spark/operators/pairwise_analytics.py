@@ -258,6 +258,46 @@ def config_report(pairs: DataFrame, cfg: SketchConfig, sparse: bool = True) -> D
     return pairs.select(*cols).mapInPandas(run, schema=CONFIG_SCHEMA)
 
 
+def wide_config_columns(w: int) -> list[str]:
+    """The reference's 17 x (w+1) ``--report:configs`` column names in its
+    exact header order (``jaccard_correction_test.py:270-282``):
+    ``N(cal,car;cbl,cbr;s)`` — configurations outermost, s = 0..w inner."""
+    return [
+        f"N({cal},{car};{cbl},{cbr};{s})"
+        for (cal, car, cbl, cbr) in VIABLE_CONFIGURATIONS
+        for s in range(w + 1)
+    ]
+
+
+def config_report_wide(pairs: DataFrame, cfg: SketchConfig) -> DataFrame:
+    """``config_report`` pivoted to the reference's WIDE ``--report:configs``
+    layout: one row per pair — (name_a, name_b) followed by the 17 x (w+1)
+    ``N(...)`` count columns in the reference's exact header order,
+    zero-filled (``jaccard_correction_test.py:256-282,404-413``).  Column
+    names and per-cell integer values are byte-parity-tested against the
+    reference CLI's TSV (tests/test_correction.py).
+
+    The pivot lists its values explicitly so Spark needs no extra
+    distinct-scan pass; the long form (the Spark-native join/agg shape)
+    remains the primary surface.  The reference line's leading metric
+    columns (w, k, lengths, I/U/J, D/C/Bias) are ``pairwise_report``'s
+    surface — join on (name_a, name_b) to reassemble the full line."""
+    cols = wide_config_columns(cfg.w)
+    long = config_report(pairs, cfg, sparse=True)
+    label = F.format_string("N(%d,%d;%d,%d;%d)", "cal", "car", "cbl", "cbr", "s")
+    wide = (
+        long.withColumn("_label", label)
+        # the reference prints only the 17 viable configurations; the long
+        # form is the full sparse tensor (a superset)
+        .where(F.col("_label").isin(cols))
+        .groupBy("name_a", "name_b")
+        .pivot("_label", cols)
+        .agg(F.first("n"))
+        .na.fill(0, cols)
+    )
+    return wide.select("name_a", "name_b", *[wide[c] for c in cols])
+
+
 def check_duplicates(docs: DataFrame, cfg: SketchConfig,
                      name_col: str = "name", text_col: str = "text") -> DataFrame:
     """Corpus duplicate-freeness validation — the reference's

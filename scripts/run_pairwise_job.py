@@ -20,7 +20,8 @@ Output goes to --out as TSV (tab-separated, header) or parquet; without
 --out the report prints to stdout.
 
 Reference-flag mapping: --report-configs = --report:configs (long-form
-config-count rows); --check-duplicates = --debug=checkduplicates (corpus
+config-count rows; add -wide for the reference's 17x(w+1) column layout);
+--check-duplicates = --debug=checkduplicates (corpus
 duplicate-freeness validation, one row per sequence); --correction-version
 v0.4 = the frozen ``jaccard_correction_test_v_0_4.py`` scriptC formulas;
 --debug-0.3.0 = its --debug=0.3.0 omitted-term toggle.
@@ -54,6 +55,10 @@ def main() -> None:
                     help="reference --report:duplicates (n_dups_a/n_dups_b columns)")
     ap.add_argument("--report-configs", action="store_true",
                     help="reference --report:configs (long-form rows)")
+    ap.add_argument("--report-configs-wide", action="store_true",
+                    help="reference --report:configs WIDE layout: 17x(w+1) "
+                         "N(cal,car;cbl,cbr;s) columns in the reference's "
+                         "exact header order")
     ap.add_argument("--check-duplicates", action="store_true",
                     help="reference --debug=checkduplicates: per-sequence "
                          "duplicate-freeness report instead of pair scoring")
@@ -69,6 +74,7 @@ def main() -> None:
     from minimizer_jaccard_estimator_spark.operators.pairwise_analytics import (
         check_duplicates,
         config_report,
+        config_report_wide,
         pairwise_report,
         replicate_report,
     )
@@ -106,6 +112,8 @@ def main() -> None:
 
     if args.report_replicates:
         report = replicate_report(pairs, cfg)
+    elif args.report_configs_wide:
+        report = config_report_wide(pairs, cfg)
     elif args.report_configs:
         report = config_report(pairs, cfg)
     else:

@@ -182,6 +182,53 @@ def test_config_report_matches_reference_cli(spark, tmp_path):
     assert sum(got.values()) == (n_hashes - w) ** 2
 
 
+def test_config_report_wide_column_layout_parity(spark, tmp_path):
+    """config_report_wide == the reference CLI's --report:configs N-columns
+    BYTE for byte: same column names, same header order, same integer cell
+    values (``jaccard_correction_test.py:270-282,404-413``).  Uses the same
+    deterministic dup-free DNA pair as the long-form parity test (the
+    reference dies on pairs with duplicate hashes)."""
+    import os
+    import subprocess
+    import sys
+
+    from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
+    from minimizer_jaccard_estimator_spark.operators.pairwise_analytics import (
+        config_report_wide, wide_config_columns)
+    from tests.conftest import REFERENCE_DIR
+
+    w, k = 8, 16
+    a, b, _, _ = _dupfree_pair(321, 150, k, 0.06)
+    fa = tmp_path / "pair.fa"
+    fa.write_text(f">A\n{a}\n>B\n{b}\n")
+
+    with open(fa) as stdin:
+        out = subprocess.run(
+            [sys.executable, os.path.join(REFERENCE_DIR, "jaccard_correction_test.py"),
+             f"K={k}", f"W={w}", "--report:configs"],
+            stdin=stdin, capture_output=True, text=True, check=True,
+        )
+    lines = [ln for ln in out.stdout.splitlines() if ln.strip()]
+    header = lines[0].lstrip("#").split("\t")
+    data = lines[1].split("\t")
+    first_n = next(i for i, c in enumerate(header) if c.startswith("N("))
+    ref_cols, ref_vals = header[first_n:], data[first_n:]
+    assert len(ref_cols) == 17 * (w + 1)
+
+    cfg = SketchConfig(k=k, w=w, hash_type="minimap2", hash_seed=0, mode="dna",
+                       num_perm=1, lsh_bands=1)
+    pairs = spark.createDataFrame([("A", a, "B", b)],
+                                  ["name_a", "text_a", "name_b", "text_b"])
+    wide = config_report_wide(pairs, cfg)
+    # column NAMES and ORDER match the reference header exactly
+    assert wide.columns[2:] == ref_cols
+    assert wide_config_columns(w) == ref_cols
+    # and the one data row's cells are byte-identical as printed integers
+    row = wide.collect()[0]
+    got_vals = [str(row[c]) for c in ref_cols]
+    assert got_vals == ref_vals
+
+
 def test_pairwise_report_duplicates_columns(spark):
     """report_duplicates=True adds the reference's --report:duplicates
     columns: per-side duplicated-hash-position counts (count_duplicates)."""
