@@ -411,10 +411,13 @@ def q_minimizer_sketch(spark, sf):
 
     n_shingles (= max(0, len-k+1)) and n_dups (= shingles whose hash was
     seen before, reference count_duplicates) ARE SQL-expressible under the
-    same fingerprint-injectivity assumption pairwise_report_exact already
-    relies on, so this query is DuckDB-oracled (VERDICT r02 #6).  The
-    minimizer count itself is not SQL-expressible; it is pinned by kernel
-    parity tests (tests/test_kernels.py) and the w1_window_min oracle."""
+    same two assumptions pairwise_report_exact/ngram_jaccard already rely
+    on: fingerprint injectivity, and ASCII fixtures (the kernel shingles
+    UTF-8 BYTES while SQL substring/length count CHARACTERS — equal only
+    when every char is one byte, which the generated documents tables are).
+    The minimizer count itself is not SQL-expressible; it is pinned by
+    kernel parity tests (tests/test_kernels.py) and the w1_window_min
+    oracle."""
     d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("conv_id"), "text")
     sk = add_sketch(d, _SKETCH)
     return sk.select("conv_id", "n_shingles", "n_dups").orderBy("conv_id")

@@ -119,6 +119,7 @@ def embedding_neardup_pairs(
     max_bucket_size: int | None = 1000,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-duplicate embedding pairs (id_a < id_b, cosine >= threshold)
     WITHOUT an all-pairs join — the scale path the crossJoin oracle verifies.
@@ -129,16 +130,28 @@ def embedding_neardup_pairs(
     vectors.  Defaults give recall ≈ 1-(1-0.955^12)^8 ≈ 0.999 at θ=0.99;
     ``max_bucket_size`` bounds degenerate buckets (e.g. the all-zero
     direction) explicitly.
+
+    Dimension contract: only vectors of exactly ``dim`` elements
+    participate; null/ragged rows are excluded (they carry no usable
+    direction, and one ragged Arrow batch would otherwise fail the job).
+    ``dim=None`` infers the MODAL size from a one-pass histogram —
+    deterministic, and robust to a corrupt leading row, unlike probing the
+    (partition-order-dependent) first row.  Pass ``dim`` explicitly when
+    the table's dimension is known.
     """
-    first = emb.select(vec_col).where(F.col(vec_col).isNotNull()).first()
-    if first is None:
-        # empty (or all-null) input: zero pairs, not a TypeError — keep the
-        # output schema so downstream unions/writes still work
-        id_type = emb.schema[id_col].dataType.simpleString()
-        return emb.sparkSession.createDataFrame(
-            [], f"id_a {id_type}, id_b {id_type}, cosine double"
+    if dim is None:
+        sizes = (
+            emb.where(F.col(vec_col).isNotNull())
+            .groupBy(F.size(vec_col).alias("_d")).count().collect()
         )
-    dim = len(first[0])
+        if not sizes:
+            # empty (or all-null) input: zero pairs, not a TypeError — keep
+            # the output schema so downstream unions/writes still work
+            id_type = emb.schema[id_col].dataType.simpleString()
+            return emb.sparkSession.createDataFrame(
+                [], f"id_a {id_type}, id_b {id_type}, cosine double"
+            )
+        dim = max(sizes, key=lambda r: (r["count"], -r["_d"]))["_d"]
     v = F.col(vec_col).cast("array<double>")
     norm = F.sqrt(F.aggregate(F.transform(v, lambda x: x * x), F.lit(0.0),
                               lambda s, x: s + x))

@@ -22,7 +22,13 @@ from ..functions.sketch import SketchConfig, add_full_sketch
 from ..plans.catalog import StageStore
 from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
-from .lsh import band_hashes, exact_dup_pairs, lsh_candidate_pairs, simhash_filter
+from .lsh import (
+    band_hashes,
+    exact_dup_pairs,
+    lsh_candidate_pairs,
+    simhash_filter,
+    text_digest,
+)
 from .substring import duplicate_spans, substring_dup_pairs
 from .verify import attach_pair_columns, verify_pairs, verify_pairs_staged
 
@@ -125,7 +131,7 @@ def run_dedup(
     if store.root is not None:
         digests = store.materialize(
             spark, "digests",
-            conv_text.select("conv_id", F.xxhash64("text").alias("digest")),
+            conv_text.select("conv_id", text_digest(F.col("text")).alias("digest")),
         )
         bands = store.materialize(
             spark, "bands",

@@ -40,7 +40,7 @@ from ..plans.catalog import StageStore
 from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
 from .dedup import DedupConfig
-from .lsh import band_hashes
+from .lsh import band_hashes, text_digest
 from .verify import verify_pairs, verify_pairs_staged
 
 
@@ -134,7 +134,7 @@ def run_dedup_delta(
     # only (star pairs — one edge, not one per group member; the rest of the
     # group is already connected through the prior run's cluster edges)
     new_digests = new_conv.select(
-        F.col("conv_id").alias("_nid"), F.xxhash64("text").alias("_h")
+        F.col("conv_id").alias("_nid"), text_digest(F.col("text")).alias("_h")
     )
     # old digests come from the store's incremental digests table (8 B/doc,
     # appended by every committed delta) — never by rehashing the corpus
@@ -144,7 +144,7 @@ def run_dedup_delta(
     else:
         old_digest_tbl = store.materialize(
             spark, "digests",
-            old_conv.select("conv_id", F.xxhash64("text").alias("digest")),
+            old_conv.select("conv_id", text_digest(F.col("text")).alias("digest")),
         )
     # anchor preference: an OLD group member if the digest exists in the
     # corpus (links the new doc into the existing cluster), else the min new

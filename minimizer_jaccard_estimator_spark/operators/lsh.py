@@ -141,6 +141,17 @@ def simhash_filter(pairs_with_simhash: DataFrame, max_hamming: int = 16) -> Data
     return pairs_with_simhash.where(dist <= F.lit(max_hamming))
 
 
+def text_digest(text_col):
+    """THE corpus text-digest expression (xxhash64 over the raw text).
+
+    Contract function: the StageStore ``digests`` probe table
+    (operators/dedup.py), the delta's fresh-batch digests and legacy-store
+    backfill (operators/delta.py), and the exact-dup fallback below must
+    agree bit-for-bit — a divergence would silently unlink exact duplicates
+    across old/new documents.  Change it here or nowhere."""
+    return F.xxhash64(text_col)
+
+
 def exact_dup_pairs(
     conv_text: DataFrame, id_col: str = "conv_id", text_col: str = "text",
     digests: DataFrame | None = None,
@@ -154,7 +165,7 @@ def exact_dup_pairs(
     if digests is not None:
         h = digests.select(F.col(id_col), F.col("digest").alias("_h"))
     else:
-        h = conv_text.select(F.col(id_col), F.xxhash64(F.col(text_col)).alias("_h"))
+        h = conv_text.select(F.col(id_col), text_digest(F.col(text_col)).alias("_h"))
     mins = h.groupBy("_h").agg(F.min(id_col).alias("id_a"), F.count("*").alias("_n"))
     return (
         h.join(mins.where(F.col("_n") > 1), "_h")

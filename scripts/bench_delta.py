@@ -43,7 +43,7 @@ SKETCH = SketchConfig(k=12, w=20, hash_type="splitmix64", hash_seed=0,
 
 def main() -> None:
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3"))
+    repeats = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "3")))
     n_small = int(os.environ.get("DELTA_BENCH_SMALL", "2000"))
     scale = int(os.environ.get("DELTA_BENCH_SCALE", "10"))
     delta_base = int(os.environ.get("DELTA_BENCH_DELTA", "400"))
