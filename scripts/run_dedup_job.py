@@ -6,12 +6,20 @@
       --input  <transcripts table: iceberg name or parquet path> \
       --output <stage-store root (parquet dir or iceberg namespace)> \
       [--k 12 --w 20 --num-perm 128 --bands 32 --threshold 0.5] \
-      [--minhash-scheme oph] [--substring-min-len 64] [--resume]
+      [--minhash-scheme oph] [--substring-min-len 64] [--staged-verify] \
+      [--resume | --delta [--delta-no-commit]]
 
 The stage store checkpoints every stage (conv_text, sketches, candidates,
 verified, spans, clusters) under --output; re-running with --resume picks up
 after the last completed stage.  Per-stage row counts + wall times land in
 ``<output>/_metrics`` — the pipeline's lineage record.
+
+``--delta`` is the production ingestion loop: --input holds ONLY the new
+conversations, which are deduped against the corpus already checkpointed
+under --output (probing its incremental digests/bands tables — O(delta)
+per cycle, the corpus is never resketched) and, unless --delta-no-commit,
+folded back in so the next delta sees them.  Run at the SAME sketch config
+as the original run.
 """
 
 from __future__ import annotations
@@ -42,10 +50,20 @@ def main() -> None:
     ap.add_argument("--minhash-scheme", default="seeded", choices=["seeded", "oph"])
     ap.add_argument("--simhash-max-hamming", type=int, default=None)
     ap.add_argument("--substring-min-len", type=int, default=None)
+    ap.add_argument("--staged-verify", action="store_true",
+                    help="MinHash-agreement prefilter before the exact "
+                         "minimizer verify (final accepts stay exact)")
     ap.add_argument("--resume", action="store_true",
                     help="reuse completed stage tables under --output")
     ap.add_argument("--overwrite", action="store_true",
                     help="allow deleting an existing --output directory")
+    ap.add_argument("--delta", action="store_true",
+                    help="dedup --input (NEW conversations only) against the "
+                         "corpus checkpointed under --output and fold the "
+                         "results back in (incremental ingestion)")
+    ap.add_argument("--delta-no-commit", action="store_true",
+                    help="with --delta: read-only what-if, leave the store "
+                         "unchanged (a later delta will NOT see this batch)")
     args = ap.parse_args()
 
     from minimizer_jaccard_estimator_spark.plans.session import get_spark
@@ -70,8 +88,25 @@ def main() -> None:
         jaccard_threshold=args.threshold,
         simhash_max_hamming=args.simhash_max_hamming,
         substring_min_len=args.substring_min_len,
+        staged_verify=args.staged_verify,
     )
     store = StageStore(root=args.output)
+    if args.delta:
+        from minimizer_jaccard_estimator_spark.operators.delta import run_dedup_delta
+
+        # run_dedup_delta validates the store holds a completed prior run
+        # and rejects conv_id overlap with the committed corpus
+        res = run_dedup_delta(spark, transcripts, cfg, store,
+                              commit=not args.delta_no_commit)
+        n_new = res.new_conv_text.count()
+        n = res.clusters.count()
+        k = res.clusters.select("cluster_id").distinct().count()
+        print(f"delta complete: +{n_new} new conversations; corpus now "
+              f"{n} conversations in {k} clusters -> {args.output}/clusters"
+              + ("" if not args.delta_no_commit else " (NOT committed)"))
+        res.release()
+        return
+
     if not args.resume:
         if store.exists("conv_text", spark) and not args.overwrite:
             raise SystemExit(

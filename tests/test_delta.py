@@ -208,3 +208,24 @@ def test_delta_requires_completed_store(spark, tmp_path):
     t = synthetic_transcripts(spark, n_base=5, dup_factor=0, seed=1)
     with pytest.raises(ValueError, match="missing completed stage"):
         run_dedup_delta(spark, t, CFG, StageStore(root=str(tmp_path / "empty")))
+
+
+def test_digest_contract_shared_across_call_sites(spark, tmp_path):
+    """The stored digests table and exact_dup_pairs' inline fallback must
+    produce bit-identical hashes — the cross-table join contract that links
+    exact duplicates across old and new documents.  Both now route through
+    lsh.text_digest; this pins the equivalence end-to-end."""
+    from pyspark.sql import Row
+
+    from minimizer_jaccard_estimator_spark.operators.lsh import (
+        exact_dup_pairs, text_digest)
+
+    rows = [Row(conv_id=f"c{i}", text=t)
+            for i, t in enumerate(["same text", "same text", "other", "",
+                                   "unicode éè text"])]
+    conv = spark.createDataFrame(rows)
+    digests = conv.select("conv_id", text_digest(F.col("text")).alias("digest"))
+    inline = {(r.id_a, r.id_b) for r in exact_dup_pairs(conv).collect()}
+    stored = {(r.id_a, r.id_b)
+              for r in exact_dup_pairs(conv, digests=digests).collect()}
+    assert inline == stored == {("c0", "c1")}
