@@ -27,8 +27,11 @@ AUDIT = [
      "shingle set ops are JVM higher-order functions"),
     ("join_agg_revenue", "small dims broadcast (BroadcastHashJoin), "
      "two-phase partial aggregation before the exchange"),
-    ("j1_pair_zip_join", "range-distributed consecutive pairing — no "
-     "single-partition global window"),
+    ("j1_pair_zip_join", "size-gated consecutive pairing: below 1M rows "
+     "(this fixture) ONE global-window job beats the ranged form's three "
+     "metadata passes, so a SinglePartition window here is the intended "
+     "plan; the at-scale ranged form (small_input_threshold=0, no "
+     "SinglePartition exchange) is plan-asserted in tests/test_plans.py"),
     ("minimizer_sketch", "ArrowEvalPython (vectorized), never "
      "BatchEvalPython row pickling"),
     ("minhash_lsh_candidates", "band hashes JVM-side; count-sized buckets "
