@@ -92,6 +92,38 @@ def test_embedding_neardup_lsh_deterministic(spark):
     assert p1 == p2 and p1
 
 
+def test_embedding_neardup_handles_null_and_ragged_rows(spark):
+    """Dimension contract (review r03): null and wrong-dimension vectors are
+    excluded, the dimension is the MODAL size (robust to a corrupt leading
+    row — never the partition-order-dependent first row), and the planted
+    pairs among well-formed vectors are still found."""
+    rows = _planted_neardup_corpus(n_base=80, n_dup=10, dim=32)
+    # adversarial prefix: a corrupt short vector FIRST, plus a null row —
+    # a first()-based dim probe would have inferred dim=4 and dropped all
+    bad = [(9000, [0.1, 0.2, 0.3, 0.4]), (9001, None)]
+    emb = spark.createDataFrame(bad + rows, ["vec_id", "embedding"]).coalesce(1)
+    got = {(r["id_a"], r["id_b"])
+           for r in embedding_neardup_pairs(emb, threshold=0.99).collect()}
+    expect = {(d, 80 + d) for d in range(10)}
+    assert expect <= got
+    assert not any(9000 in p or 9001 in p for p in got)
+    # explicit dim overrides inference entirely
+    got2 = {(r["id_a"], r["id_b"])
+            for r in embedding_neardup_pairs(emb, threshold=0.99, dim=32).collect()}
+    assert expect <= got2
+
+
+def test_embedding_neardup_empty_and_all_null(spark):
+    """Empty or all-null input returns an empty typed frame, not an error."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<float>")
+    assert embedding_neardup_pairs(empty).count() == 0
+    nulls = spark.createDataFrame([(1, None), (2, None)],
+                                  "vec_id long, embedding array<float>")
+    out = embedding_neardup_pairs(nulls)
+    assert out.count() == 0
+    assert out.columns == ["id_a", "id_b", "cosine"]
+
+
 def test_ivf_partial_probe_recall(spark):
     emb = _emb(spark)
     query = emb.where("vec_id = 1").head()["embedding"]
