@@ -89,9 +89,14 @@ def main() -> None:
     gen_sec = time.monotonic() - t0
 
     def run_pipeline():
+        # rebalance_sketch=False: the pre-sketch round-robin text shuffle
+        # pays off for the heavy seeded sketch (~1.8x, BASELINE.md) but
+        # under OPH the sketch is cheap enough that the extra full-corpus
+        # shuffle costs more than the straggler tail it removes (A/B at
+        # 2.06M turns, local[32]: 58.3 s vs 63.0 s min-of-2)
         res = run_dedup(spark, transcripts,
                         DedupConfig(sketch=SKETCH, jaccard_threshold=0.5,
-                                    staged_verify=True))
+                                    staged_verify=True, rebalance_sketch=False))
         # one action: a second pass would re-run the assembly agg + cluster join
         stats = res.clusters.agg(
             F.countDistinct("cluster_id").alias("k"), F.count("*").alias("n")
