@@ -141,6 +141,7 @@ def main() -> None:
     # N-vs-4N-executors measurement); the legacy files are single-JVM local[N]
     for tag, path in (
         ("dedup_cluster_large_2_8", "SCALING_dedup_cluster_large_2_8.json"),
+        ("dedup_cluster_large_2_8_noreb", "SCALING_dedup_cluster_large_2_8_noreb.json"),
         ("dedup_cluster_large_8_32", "SCALING_dedup_cluster_large_8_32.json"),
         ("sketch_cluster_large_2_8", "SCALING_sketch_cluster_large_2_8.json"),
         ("dedup_cluster", "SCALING_dedup_cluster.json"),

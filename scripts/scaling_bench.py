@@ -108,8 +108,13 @@ else:
     for _ in range(reps):
         t0 = time.monotonic()
         staged = os.environ.get("SB_STAGED_VERIFY", "0") == "1"
+        # SB_REBALANCE=0: skip the pre-sketch round-robin text shuffle — the
+        # right setting for cheap (OPH) sketches, where the shuffle costs
+        # more than the straggler tail it removes (BASELINE.md tuning note)
+        reb = os.environ.get("SB_REBALANCE", "1") == "1"
         res = run_dedup(spark, tr, DedupConfig(sketch=sketch, jaccard_threshold=0.5,
-                                               staged_verify=staged))
+                                               staged_verify=staged,
+                                               rebalance_sketch=reb))
         n_clusters = res.clusters.select("cluster_id").distinct().count()
         walls.append(time.monotonic() - t0)
         res.release()  # same input next rep: measure compute, not cache reuse
