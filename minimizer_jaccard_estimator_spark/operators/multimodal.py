@@ -166,6 +166,7 @@ def media_neardup_pairs(
     n_planes: int = 12,
     n_tables: int = 8,
     seed: int = 42,
+    dim: int | None = None,
 ) -> DataFrame:
     """Near-dup media pairs (id_a < id_b) by feature cosine >= threshold.
 
@@ -176,6 +177,10 @@ def media_neardup_pairs(
     pair expansion, and exact cosine verification; never an all-pairs join.
     Recall vs the brute-force pairs is pytest-verified
     (tests/test_multimodal.py).
+
+    Pass ``dim`` when the feature dimension is known (extract_features'
+    ``dim`` argument) — it skips the modal-size inference pass, an extra
+    Spark job over potentially expensive lineage (ADVICE r03).
     """
     from .ann import embedding_neardup_pairs
 
@@ -188,6 +193,7 @@ def media_neardup_pairs(
         max_bucket_size=max_bucket_size,
         id_col="media_id",
         vec_col="features",
+        dim=dim,
     )
 
 

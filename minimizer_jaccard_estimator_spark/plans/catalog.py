@@ -112,6 +112,57 @@ class StageStore:
     def load(self, spark: SparkSession, stage: str) -> DataFrame:
         return spark.read.format(self.format).load(self.path(stage))
 
+    # -- sketch-config manifest (ADVICE r03): the digests/bands probe tables
+    # are only meaningful at the config that produced them; a delta at a
+    # mismatched config would silently find zero LSH candidates.  run_dedup
+    # stamps the store; run_dedup_delta fails loudly on mismatch.
+    _MANIFEST = "_sketch_config.json"
+
+    def manifest_path(self) -> str:
+        return os.path.join(self.root, self._MANIFEST)
+
+    def read_manifest(self, spark: SparkSession) -> dict | None:
+        """The sketch-config manifest stamped at run_dedup time, or None for
+        a store that predates manifests."""
+        if self.root is None:
+            return None
+        p = self.manifest_path()
+        if "://" in self.root:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if not fs.exists(jpath):
+                return None
+            stream = fs.open(jpath)
+            try:
+                data = bytes(
+                    spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
+                )
+            finally:
+                stream.close()
+            return json.loads(data.decode("utf-8"))
+        if not os.path.exists(p):
+            return None
+        with open(p) as fh:
+            return json.load(fh)
+
+    def write_manifest(self, spark: SparkSession, manifest: dict) -> None:
+        if self.root is None:
+            return
+        payload = json.dumps(manifest, indent=1, sort_keys=True)
+        p = self.manifest_path()
+        if "://" in self.root:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            out = fs.create(jpath, True)
+            try:
+                out.write(bytearray(payload.encode("utf-8")))
+            finally:
+                out.close()
+        else:
+            os.makedirs(self.root, exist_ok=True)
+            with open(p, "w") as fh:
+                fh.write(payload)
+
     def swap_in(self, spark: SparkSession, stage: str, pending_stage: str) -> None:
         """Replace ``stage``'s table with ``pending_stage``'s, working for
         both local paths and Hadoop FS URIs (``://`` roots) — the pattern for

@@ -178,10 +178,46 @@ def test_delta_probes_incremental_tables_not_corpus(spark, tmp_path):
     res2.release()
 
 
+def test_delta_verify_prunes_corpus_sketch_scan(spark, tmp_path):
+    """The delta verify must not scan every corpus doc's wide minimizer
+    array (VERDICT r03 #2): the sketch lookup is pruned to the candidate id
+    set first, as an In(conv_id, ...) predicate pushed into the parquet scan
+    of the store's sketches table (or a semi-join above the pushdown cap)."""
+    corpus = synthetic_transcripts(spark, n_base=30, dup_factor=2, seed=9).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 3 != 0)
+    new = corpus.where(idx % 3 == 0)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, CFG, store=store)
+
+    res = run_dedup_delta(spark, new, CFG, store)
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = res.verified._jdf.queryExecution().explainString(mode)
+    import os
+    import re
+
+    sk_path = os.path.join(store.root, "sketches")
+    # every scan of the corpus sketches table must carry the pushed-down
+    # candidate-id In filter — no unfiltered full-width corpus scan remains
+    scans = [
+        blk for blk in re.split(r"\n\(\d+\) ", plan)
+        if "Scan parquet" in blk.splitlines()[0] and sk_path in blk
+    ]
+    assert scans, "verify plan no longer reads the corpus sketches table?"
+    for blk in scans:
+        assert re.search(r"PushedFilters: \[.*In\(conv_id", blk), blk.splitlines()[0]
+    res.release()
+
+
 def test_delta_migrates_legacy_store_without_probe_tables(spark, tmp_path):
     """A store created before the digests/bands stages existed is backfilled
-    in place on first delta use (one O(corpus) pass), and the delta result
-    still matches a full recompute."""
+    in place by the first COMMITTED delta (one O(corpus) pass); a
+    commit=False what-if derives the same rows without writing (ADVICE r03:
+    read-only runs must not mutate a production store) and still matches a
+    full recompute."""
+    import os
     import shutil
 
     corpus = synthetic_transcripts(spark, n_base=30, dup_factor=2, seed=31).cache()
@@ -191,15 +227,86 @@ def test_delta_migrates_legacy_store_without_probe_tables(spark, tmp_path):
 
     store = StageStore(root=str(tmp_path / "prior"))
     run_dedup(spark, old, CFG, store=store)
-    # simulate a round-2-era store: no probe tables
+    # simulate a round-2-era store: no probe tables, no manifest
     shutil.rmtree(store.path("bands"))
     shutil.rmtree(store.path("digests"))
+    os.remove(store.manifest_path())
 
+    # read-only what-if: correct result, zero store writes
     delta = run_dedup_delta(spark, new, CFG, store)
     full = run_dedup(spark, corpus, CFG)
     assert _canon(delta.clusters) == _canon(full.clusters)
-    # migrated in place: subsequent deltas probe incrementally
+    assert not store.exists("bands") and not store.exists("digests")
+    assert store.read_manifest(spark) is None
+
+    # first committed delta migrates in place: probe tables + manifest appear
+    delta2 = run_dedup_delta(spark, new, CFG, store, commit=True)
+    assert _canon(delta2.clusters) == _canon(full.clusters)
     assert store.exists("bands") and store.exists("digests")
+    assert store.read_manifest(spark) is not None
+
+
+def test_delta_rejects_mismatched_sketch_config(spark, tmp_path):
+    """A delta at a different sketch config than the store's manifest must
+    fail loudly BEFORE probing — mismatched band hashes would silently yield
+    zero old-vs-new candidates (ADVICE r03)."""
+    import dataclasses
+
+    import pytest
+
+    old = synthetic_transcripts(spark, n_base=10, dup_factor=0, seed=3)
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, CFG, store=store)
+    assert store.read_manifest(spark) == {
+        k: v for k, v in dataclasses.asdict(CFG.sketch).items()
+        if k != "include_positions"
+    }
+
+    new = synthetic_transcripts(spark, n_base=4, dup_factor=0, seed=4) \
+        .withColumn("conv_id", F.concat(F.lit("x"), F.col("conv_id")))
+    bad = dataclasses.replace(CFG, sketch=dataclasses.replace(CFG.sketch, lsh_bands=16))
+    with pytest.raises(ValueError, match="sketch config mismatch"):
+        run_dedup_delta(spark, new, bad, store)
+    # include_positions is schema-only and must NOT trip the check
+    ok = dataclasses.replace(
+        CFG, sketch=dataclasses.replace(CFG.sketch, include_positions=False))
+    run_dedup_delta(spark, new, ok, store).release()
+    # run_dedup resume at a mismatched config is refused too
+    with pytest.raises(ValueError, match="sketch config mismatch"):
+        run_dedup(spark, old, bad, store=store)
+
+
+def test_delta_no_commit_leaves_store_untouched(spark, tmp_path):
+    """commit=False is a read-only what-if: no delta_lsh_dropped_buckets
+    overwrite (the dropped buckets surface on the result), no probe-table
+    writes, byte-identical store tree (ADVICE r03)."""
+    import dataclasses
+    import os
+
+    corpus = synthetic_transcripts(spark, n_base=24, dup_factor=2, seed=13).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 2 == 0)
+    new = corpus.where(idx % 2 == 1)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    cfg = dataclasses.replace(CFG, max_bucket_size=3)
+    run_dedup(spark, old, cfg, store=store)
+
+    def tree(root):
+        out = {}
+        for dirpath, _dirs, files in os.walk(root):
+            for f in files:
+                p = os.path.join(dirpath, f)
+                out[os.path.relpath(p, root)] = os.path.getsize(p)
+        return out
+
+    before = tree(store.root)
+    res = run_dedup_delta(spark, new, cfg, store)
+    res.clusters.count()
+    assert res.dropped_buckets is not None
+    res.dropped_buckets.count()  # evaluable without store writes
+    res.release()
+    assert tree(store.root) == before
 
 
 def test_delta_requires_completed_store(spark, tmp_path):

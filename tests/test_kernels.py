@@ -293,6 +293,36 @@ def test_oph_estimator_tracks_jaccard():
         assert abs(est - j_true) < 0.12, (frac, est, j_true)
 
 
+def test_oph_densification_matches_naive_scan():
+    """The vectorized reversed-cummin fill (round 4) must be bit-identical to
+    the original right-to-left Python scan on sparse (short-doc) signatures —
+    the case where most slots are empty and borrow cyclically."""
+    rng = np.random.default_rng(31)
+    for size in (1, 2, 3, 5, 17, 60, 127, 400):
+        fp = rng.integers(0, 1 << 63, size=size, dtype=np.uint64)
+        num_perm = 128
+        got = K.oph_signature(fp, num_perm)
+        # naive reference: recompute slots, then scan right-to-left cyclically
+        h = K.apply_hash("splitmix64", 0, np.unique(fp), 32)
+        bits = num_perm.bit_length() - 1
+        slots = (h >> np.uint64(64 - bits)).astype(np.int64)
+        exp = np.full(num_perm, np.uint64(0xFFFFFFFFFFFFFFFF), dtype=np.uint64)
+        np.minimum.at(exp, slots, h)
+        empty = exp == np.uint64(0xFFFFFFFFFFFFFFFF)
+        if empty.any() and not empty.all():
+            src = np.where(empty, -1, np.arange(num_perm))
+            ext = np.concatenate([src, src])
+            fill = np.empty(2 * num_perm, dtype=np.int64)
+            nxt = -1
+            for i in range(2 * num_perm - 1, -1, -1):
+                if ext[i] >= 0:
+                    nxt = ext[i]
+                fill[i] = nxt
+            exp[empty] = exp[fill[:num_perm][empty]]
+        assert got.tolist() == exp.tolist(), size
+        assert (got != np.uint64(0xFFFFFFFFFFFFFFFF)).all(), size
+
+
 def test_oph_empty_input():
     out = K.oph_signature(np.empty(0, dtype=np.uint64), 64)
     assert (out == np.uint64(0xFFFFFFFFFFFFFFFF)).all()
