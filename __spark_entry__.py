@@ -502,6 +502,63 @@ def q_media_neardup_invariant(spark, sf):
     )
 
 
+def q_lsh_candidates_invariant(spark, sf):
+    """Partial oracle for LSH candidate generation: planted byte-identical
+    copies have identical MinHash signatures, so EVERY band bucket pairs
+    them — the candidate set must contain every planted pair regardless of
+    banding config.  Filtered to the planted pairs (the rest of the
+    candidate set is kernel-dependent and stays rows-only via
+    minhash_lsh_candidates); bucket cap disabled so no planted bucket can
+    be audited away (the fixture has no natural exact-dup groups)."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    seeded = d.unionByName(
+        d.where(F.col("doc_id") % 50 == 0)
+        .select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    sig = add_signature(
+        seeded.select(F.col("doc_id").cast("string").alias("conv_id"), "text"), _SKETCH
+    )
+    pairs = lsh_candidate_pairs(sig.select("conv_id", "minhash"), _SKETCH,
+                                max_bucket_size=None)
+    na = F.col("id_a").cast("long")
+    nb = F.col("id_b").cast("long")
+    orig = F.least(na, nb)
+    return (
+        pairs.where(F.abs(na - nb) == 1000000)
+        .select(orig.alias("id_a"), (orig + 1000000).alias("id_b"))
+        .orderBy("id_a")
+    )
+
+
+def q_verified_pairs_invariant(spark, sf):
+    """Partial oracle for the exact minimizer-Jaccard verify: planted
+    byte-identical copies have identical minimizer sets, so verify_pairs
+    must score exactly j_mini = 1.0 on every planted pair.  Docs shorter
+    than k are excluded (empty minimizer sets verify to 0 by the zero-union
+    convention) — the oracle applies the same length filter."""
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.where((F.col("doc_id") % 50 == 0) & (F.length("text") >= _SKETCH.k))
+    seeded = d.unionByName(
+        planted.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    sk = add_sketch(
+        seeded.select(F.col("doc_id").cast("string").alias("conv_id"), "text"), _SKETCH
+    )
+    cand = planted.select(
+        F.col("doc_id").cast("string").alias("id_a"),
+        (F.col("doc_id") + 1000000).cast("string").alias("id_b"),
+    )
+    out = verify_pairs(cand, sk.select("conv_id", "minimizers"))
+    return (
+        out.select(
+            F.col("id_a").cast("long").alias("id_a"),
+            F.col("id_b").cast("long").alias("id_b"),
+            F.round("j_mini", 6).alias("j_mini"),
+        )
+        .orderBy("id_a")
+    )
+
+
 def q_dedup_clusters_invariant(spark, sf):
     """Driver-checked invariant over the FULL dedup pipeline (VERDICT r03
     #7): the query self-seeds a NEAR-duplicate (first 10 characters dropped,
@@ -776,6 +833,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_invariant": q_simhash_invariant,
         "media_neardup_invariant": q_media_neardup_invariant,
         "dedup_clusters_invariant": q_dedup_clusters_invariant,
+        "lsh_candidates_invariant": q_lsh_candidates_invariant,
+        "verified_pairs_invariant": q_verified_pairs_invariant,
         # kernel-backed (rows-only checks)
         "minimizer_sketch_full": q_minimizer_sketch_full,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -1114,6 +1173,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS orig_id, CAST(true AS BOOLEAN) AS same_cluster
             FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 200
             ORDER BY orig_id
+        """,
+        "lsh_candidates_invariant": """
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b
+            FROM documents WHERE doc_id % 50 = 0 ORDER BY id_a
+        """,
+        "verified_pairs_invariant": """
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+                   CAST(1.0 AS DOUBLE) AS j_mini
+            FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 8
+            ORDER BY id_a
         """,
         "media_digest": """
             SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,

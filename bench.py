@@ -167,6 +167,7 @@ def main() -> None:
     for key, tag in (
         ("scaling_eff_sketch_2_8", "scaling_sketch_cluster_large_2_8"),
         ("scaling_eff_dedup_2_8", "scaling_dedup_cluster_large_2_8"),
+        ("scaling_eff_dedup_2_8_warm", "scaling_dedup_cluster_large_2_8_warm"),
         ("scaling_eff_dedup_8_32", "scaling_dedup_cluster_large_8_32"),
     ):
         pairs = detail.get(tag)
