@@ -559,6 +559,40 @@ def q_verified_pairs_invariant(spark, sf):
     )
 
 
+def q_substring_spans_invariant(spark, sf):
+    """Partial oracle for the suffix-array substring pass: a planted
+    byte-identical copy shares its ENTIRE text with the original, so
+    duplicate_spans must recover exactly one maximal span of the full byte
+    length with full coverage on both sides — all SQL-derivable from
+    octet_length.  Filtered to the planted pairs; general span geometry
+    stays rows-only via substring_dup_spans + tests/test_suffix.py."""
+    from minimizer_jaccard_estimator_spark.operators.substring import duplicate_spans
+
+    d = _t(spark, sf, "documents").select("doc_id", "text")
+    planted = d.where((F.col("doc_id") % 50 == 0) & (F.octet_length("text") >= 64))
+    seeded = d.unionByName(
+        planted.select((F.col("doc_id") + 1000000).alias("doc_id"), "text")
+    )
+    sp = duplicate_spans(
+        seeded.select(F.col("doc_id").cast("string").alias("conv_id"), "text"),
+        min_len=32, max_bucket_size=None,
+    )
+    na = F.col("id_a").cast("long")
+    nb = F.col("id_b").cast("long")
+    orig = F.least(na, nb)
+    return (
+        sp.where(F.abs(na - nb) == 1000000)
+        .select(
+            orig.alias("id_a"), (orig + 1000000).alias("id_b"),
+            F.col("longest").cast("long").alias("longest"),
+            F.col("cov_a").cast("long").alias("covered_a"),
+            F.col("cov_b").cast("long").alias("covered_b"),
+            F.col("n_spans").cast("long").alias("n_spans"),
+        )
+        .orderBy("id_a")
+    )
+
+
 def q_dedup_clusters_invariant(spark, sf):
     """Driver-checked invariant over the FULL dedup pipeline (VERDICT r03
     #7): the query self-seeds a NEAR-duplicate (first 10 characters dropped,
@@ -835,6 +869,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_clusters_invariant": q_dedup_clusters_invariant,
         "lsh_candidates_invariant": q_lsh_candidates_invariant,
         "verified_pairs_invariant": q_verified_pairs_invariant,
+        "substring_spans_invariant": q_substring_spans_invariant,
         # kernel-backed (rows-only checks)
         "minimizer_sketch_full": q_minimizer_sketch_full,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -1182,6 +1217,16 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
                    CAST(1.0 AS DOUBLE) AS j_mini
             FROM documents WHERE doc_id % 50 = 0 AND length(text) >= 8
+            ORDER BY id_a
+        """,
+        "substring_spans_invariant": """
+            SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS longest,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS covered_a,
+                   CAST(octet_length(encode(text)) AS BIGINT) AS covered_b,
+                   CAST(1 AS BIGINT) AS n_spans
+            FROM documents
+            WHERE doc_id % 50 = 0 AND octet_length(encode(text)) >= 64
             ORDER BY id_a
         """,
         "media_digest": """

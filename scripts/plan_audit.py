@@ -22,6 +22,21 @@ from minimizer_jaccard_estimator_spark.plans.session import get_spark  # noqa: E
 
 SF_DIR = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
 
+DELTA_NOTE = (
+    "## delta ingestion plans (asserted, not dumped)\n\n"
+    "`run_dedup_delta` needs a populated StageStore, so its plans are "
+    "asserted in `tests/test_delta.py` instead of dumped here:\n"
+    "`test_delta_probes_incremental_tables_not_corpus` — the candidate "
+    "stage reads ONLY the narrow `bands`/`digests` probe tables (never "
+    "rescans corpus `sketches`/`conv_text`);\n"
+    "`test_delta_verify_prunes_corpus_sketch_scan` — every scan of the "
+    "corpus sketches table inside the verify plan carries the pushed-down "
+    "`In(conv_id, ...)` candidate-id filter (semi-join above 10k ids);\n"
+    "connected components receives only the components touched by a new "
+    "accepted edge (round 4), so no corpus-wide edge set enters the "
+    "iterated CC shuffles.\n"
+)
+
 AUDIT = [
     ("ngram_jaccard", "filter + column pruning reach the parquet scan; "
      "shingle set ops are JVM higher-order functions"),
@@ -59,6 +74,7 @@ def main() -> None:
         "called out per query are asserted in `tests/test_plans.py`.",
         "",
     ]
+    out += [DELTA_NOTE]
     for name, note in AUDIT:
         plan = _plan(qs[name](spark, SF_DIR))
         out += [f"## {name}", "", f"_{note}_", "", "```", plan.rstrip(), "```", ""]
