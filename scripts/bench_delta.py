@@ -102,7 +102,8 @@ def main() -> None:
         corpora["large"]["delta_wall_min_sec"]
         / corpora["small"]["delta_wall_min_sec"], 3)
     print(json.dumps(out))
-    with open(os.path.join(REPO, "DELTA_BENCH.json"), "w") as fh:
+    out_name = os.environ.get("DELTA_BENCH_OUT", "DELTA_BENCH.json")
+    with open(os.path.join(REPO, out_name), "w") as fh:
         json.dump(out, fh, indent=1)
     spark.stop()
 
