@@ -178,9 +178,14 @@ def run_dedup_delta(
     # corpus (links the new doc into the existing cluster), else the min new
     # id (links new-vs-new duplicate groups); a min over old ∪ new could pick
     # a new id smaller than every old member, which would leave that new doc
-    # anchorless against the old group
+    # anchorless against the old group.  Same touched-key trick as the band
+    # probe (round 4): only digests the DELTA carries can anchor a new doc,
+    # so semi-join the corpus digest table down to those BEFORE the min
+    # aggregation — the groupBy then shuffles delta-matched rows only, not
+    # one row per corpus document per delta
     old_anchor = (
         old_digest_tbl.select("conv_id", F.col("digest").alias("_h"))
+        .join(new_digests.select("_h").distinct(), "_h", "leftsemi")
         .groupBy("_h").agg(F.min("conv_id").alias("_old"))
     )
     new_anchor = new_digests.groupBy("_h").agg(F.min("_nid").alias("_new"))
@@ -325,19 +330,16 @@ def run_dedup_delta(
     )
     affected_edges = old_edges.join(touched_roots, "id_b", "leftsemi")
     comp = connected_components(affected_edges.union(accepted).distinct())
-    all_ids = old_clusters.select("conv_id").union(new_conv.select("conv_id"))
+    # default assignment: prior rows keep their cluster, new docs cluster as
+    # themselves; ONE left join against the delta-sized comp table (broadcast
+    # — never a corpus-vs-corpus shuffle join) overrides the recomputed
+    # components
+    base = old_clusters.select("conv_id", F.col("cluster_id").alias("_default")).unionByName(
+        new_conv.select("conv_id", F.col("conv_id").alias("_default"))
+    )
     clusters = (
-        all_ids.join(comp, "conv_id", "left")
-        .join(
-            old_clusters.select("conv_id", F.col("cluster_id").alias("_old_cid")),
-            "conv_id", "left",
-        )
-        .select(
-            "conv_id",
-            # recomputed component wins; else prior assignment; else the new
-            # isolated doc clusters as itself
-            F.coalesce("cluster_id", "_old_cid", F.col("conv_id")).alias("cluster_id"),
-        )
+        base.join(comp, "conv_id", "left")
+        .select("conv_id", F.coalesce("cluster_id", "_default").alias("cluster_id"))
     )
     if commit:
         # Commit order is chosen so every returned DataFrame and every crash
