@@ -562,9 +562,12 @@ def q_verified_pairs_invariant(spark, sf):
 def q_substring_spans_invariant(spark, sf):
     """Partial oracle for the suffix-array substring pass: a planted
     byte-identical copy shares its ENTIRE text with the original, so
-    duplicate_spans must recover exactly one maximal span of the full byte
-    length with full coverage on both sides — all SQL-derivable from
-    octet_length.  Filtered to the planted pairs; general span geometry
+    duplicate_spans must recover a maximal span of the full byte length
+    with full coverage on both sides — all SQL-derivable from octet_length.
+    (The span COUNT is deliberately not asserted: byte-identity implies the
+    full-length span and total coverage, but a text whose tail repeats an
+    internal >=min_len block can legitimately report a second maximal span
+    — review r04.)  Filtered to the planted pairs; general span geometry
     stays rows-only via substring_dup_spans + tests/test_suffix.py."""
     from minimizer_jaccard_estimator_spark.operators.substring import duplicate_spans
 
@@ -587,7 +590,6 @@ def q_substring_spans_invariant(spark, sf):
             F.col("longest").cast("long").alias("longest"),
             F.col("cov_a").cast("long").alias("covered_a"),
             F.col("cov_b").cast("long").alias("covered_b"),
-            F.col("n_spans").cast("long").alias("n_spans"),
         )
         .orderBy("id_a")
     )
@@ -1223,8 +1225,7 @@ def oracle_sql() -> dict[str, str]:
             SELECT doc_id AS id_a, doc_id + 1000000 AS id_b,
                    CAST(octet_length(encode(text)) AS BIGINT) AS longest,
                    CAST(octet_length(encode(text)) AS BIGINT) AS covered_a,
-                   CAST(octet_length(encode(text)) AS BIGINT) AS covered_b,
-                   CAST(1 AS BIGINT) AS n_spans
+                   CAST(octet_length(encode(text)) AS BIGINT) AS covered_b
             FROM documents
             WHERE doc_id % 50 = 0 AND octet_length(encode(text)) >= 64
             ORDER BY id_a

@@ -124,10 +124,16 @@ def run_dedup(
 ) -> DedupResult:
     cfg = cfg or DedupConfig()
     store = store or StageStore(root=None)
-    # stamp fresh stores with the sketch config; refuse to resume a store
+    # stamp FRESH stores with the sketch config; refuse to resume a store
     # built at a different config (its stage tables would silently mix
-    # incomparable sketches — same failure mode ADVICE r03 flagged for delta)
-    check_store_manifest(spark, store, cfg.sketch, stamp=True)
+    # incomparable sketches — same failure mode ADVICE r03 flagged for
+    # delta).  Stamping is restricted to stores with no completed stages: a
+    # legacy (pre-manifest) store resumed at the WRONG config would
+    # otherwise get the wrong config written as truth, poisoning every
+    # future correct-config run (review r04) — legacy stores keep the
+    # documented same-config precondition until rebuilt
+    check_store_manifest(spark, store, cfg.sketch,
+                         stamp=not store.exists("conv_text", spark))
 
     # -- assembly (skew note: groupBy(conv_id) is a hash shuffle; hot conv_ids
     # are bounded by per-conv turn counts, and the partial agg combines

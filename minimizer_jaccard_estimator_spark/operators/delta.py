@@ -65,7 +65,9 @@ class DeltaResult:
     # LSH buckets excluded by max_bucket_size (no silent caps).  commit=True
     # also materializes these as the store's delta_lsh_dropped_buckets table;
     # commit=False runs surface them HERE ONLY — a read-only what-if must not
-    # clobber the last committed delta's lineage table (ADVICE r03)
+    # clobber the last committed delta's lineage table (ADVICE r03).  In
+    # no-commit mode this is lineage-backed by an internal cache: consume it
+    # BEFORE release(), or the evaluation re-runs the band probe from scratch
     dropped_buckets: DataFrame | None = None
     _caches: list[DataFrame] | None = None
 
@@ -75,6 +77,15 @@ class DeltaResult:
         for df in self._caches or []:
             df.unpersist()
         self._caches = []
+
+
+def _endpoint_ids(pairs: DataFrame) -> DataFrame:
+    """Distinct conv_ids appearing on either side of an (id_a, id_b) table."""
+    return (
+        pairs.select(F.col("id_a").alias("conv_id"))
+        .union(pairs.select(F.col("id_b").alias("conv_id")))
+        .distinct()
+    )
 
 
 def run_dedup_delta(
@@ -273,12 +284,7 @@ def run_dedup_delta(
     # is small enough to collect — instead of 2–4 full wide-array scans
     # inside the verify joins (attach_pair_columns joins the per-doc table
     # twice, and staged verify does that twice over).
-    cand_ids = (
-        candidates.select(F.col("id_a").alias("conv_id"))
-        .union(candidates.select(F.col("id_b").alias("conv_id")))
-        .distinct()
-        .persist()
-    )
+    cand_ids = _endpoint_ids(candidates).persist()
     caches.append(cand_ids)
     id_sample = cand_ids.limit(_ID_PUSHDOWN_CAP + 1).collect()
     if len(id_sample) <= _ID_PUSHDOWN_CAP:
@@ -316,11 +322,7 @@ def run_dedup_delta(
     old_edges = old_clusters.where(F.col("conv_id") != F.col("cluster_id")).select(
         F.col("conv_id").alias("id_a"), F.col("cluster_id").alias("id_b")
     )
-    touched_ids = (
-        accepted.select(F.col("id_a").alias("conv_id"))
-        .union(accepted.select(F.col("id_b").alias("conv_id")))
-        .distinct()
-    )
+    touched_ids = _endpoint_ids(accepted)
     # roots of every prior component containing a touched id (the touched id
     # may be a member or the root itself; new ids have no old_clusters row)
     touched_roots = (

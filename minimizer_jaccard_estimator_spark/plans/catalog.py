@@ -132,14 +132,19 @@ class StageStore:
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
             if not fs.exists(jpath):
                 return None
+            # byte-at-a-time over py4j is fine for a <1 KB manifest and
+            # needs only the Hadoop FS API (no commons-io on the driver
+            # classpath — Hadoop 3 shades its own copy; review r04)
             stream = fs.open(jpath)
             try:
-                data = bytes(
-                    spark._jvm.org.apache.commons.io.IOUtils.toByteArray(stream)
-                )
+                chunks = bytearray()
+                b = stream.read()
+                while b >= 0:
+                    chunks.append(b)
+                    b = stream.read()
             finally:
                 stream.close()
-            return json.loads(data.decode("utf-8"))
+            return json.loads(bytes(chunks).decode("utf-8"))
         if not os.path.exists(p):
             return None
         with open(p) as fh:

@@ -86,7 +86,10 @@ def main() -> int:
         if r.returncode != 0:
             sys.stderr.write(r.stdout[-2000:] + "\n" + r.stderr[-4000:] + "\n")
             raise SystemExit(f"spark-submit failed: {' '.join(extra)}")
-        print([ln for ln in r.stdout.splitlines() if "complete" in ln][-1])
+        done = [ln for ln in r.stdout.splitlines() if "complete" in ln]
+        # the completion line can be lost to stdout buffering on JVM
+        # teardown; a zero exit already proves the run succeeded
+        print(done[-1] if done else f"(exit 0, no completion line) {' '.join(extra)}")
 
     # -- 1. base run, 2./3. committed deltas via the real driver -------------
     submit(["--input", batches[0], "--output", store_root])

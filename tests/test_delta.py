@@ -309,6 +309,23 @@ def test_delta_no_commit_leaves_store_untouched(spark, tmp_path):
     assert tree(store.root) == before
 
 
+def test_legacy_store_resume_does_not_stamp_manifest(spark, tmp_path):
+    """Resuming a legacy (pre-manifest) store must NOT stamp the requested
+    config as truth: the resumed stage tables were built at an UNKNOWN
+    config, and a wrong-config resume would poison the manifest for every
+    future correct-config run (review r04).  Only stores with no completed
+    stages get stamped."""
+    import os
+
+    old = synthetic_transcripts(spark, n_base=8, dup_factor=0, seed=5)
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, CFG, store=store)
+    os.remove(store.manifest_path())
+
+    run_dedup(spark, old, CFG, store=store)  # full resume, all stages exist
+    assert store.read_manifest(spark) is None
+
+
 def test_delta_requires_completed_store(spark, tmp_path):
     import pytest
 
