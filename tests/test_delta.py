@@ -309,6 +309,38 @@ def test_delta_no_commit_leaves_store_untouched(spark, tmp_path):
     assert tree(store.root) == before
 
 
+def test_delta_untouched_clusters_keep_exact_assignment(spark, tmp_path):
+    """Incremental CC (round 4) must leave every component the delta does
+    NOT touch with its prior cluster_id VERBATIM — not merely the same
+    partition.  A delta that is entirely unrelated to the corpus therefore
+    changes no old row at all."""
+    from pyspark.sql import Row
+
+    text_a = "alpha beta gamma delta epsilon zeta eta theta iota kappa " * 6
+    text_b = "zebra yak xenon walrus viper urchin tapir shark rhino quail " * 6
+    rows = [
+        Row(conv_id="a0", turn_idx=0, role="user", text=text_a, tool=None, ts=None),
+        Row(conv_id="a1", turn_idx=0, role="user", text=text_a, tool=None, ts=None),
+        Row(conv_id="b0", turn_idx=0, role="user", text=text_b, tool=None, ts=None),
+    ]
+    old = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    store = StageStore(root=str(tmp_path / "prior"))
+    prior = run_dedup(spark, old, CFG, store=store)
+    before = {r["conv_id"]: r["cluster_id"] for r in prior.clusters.collect()}
+    assert before["a0"] == before["a1"]  # the duplicate pair clustered
+
+    unrelated = Row(conv_id="z9", turn_idx=0, role="user",
+                    text="totally fresh words nothing shared here " * 8,
+                    tool=None, ts=None)
+    delta = run_dedup_delta(
+        spark, spark.createDataFrame([unrelated], TRANSCRIPT_SCHEMA), CFG, store
+    )
+    after = {r["conv_id"]: r["cluster_id"] for r in delta.clusters.collect()}
+    assert after.pop("z9") == "z9"  # new isolated doc clusters as itself
+    assert after == before, "untouched components were reassigned"
+    delta.release()
+
+
 def test_legacy_store_resume_does_not_stamp_manifest(spark, tmp_path):
     """Resuming a legacy (pre-manifest) store must NOT stamp the requested
     config as truth: the resumed stage tables were built at an UNKNOWN
