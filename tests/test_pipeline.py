@@ -397,6 +397,63 @@ def test_connected_components_raises_without_convergence(spark):
         connected_components(pairs, max_iterations=1, driver_threshold=0)
 
 
+def test_dedup_adversarial_corpus_batch_and_delta(spark, tmp_path):
+    """One corpus holding every adversarial shape from the verify recipe —
+    empty-text turns, a conv shorter than k, single-turn convs,
+    unicode/emoji text, a byte-exact dup pair, out-of-order turn_idx
+    arrival — through BOTH run_dedup and run_dedup_delta."""
+    from pyspark.sql import Row
+
+    from minimizer_jaccard_estimator_spark.operators.delta import run_dedup_delta
+    from minimizer_jaccard_estimator_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    emoji = "🌍 unicode résumé naïve emoji tail " * 8
+    long_a = "alpha beta gamma delta epsilon zeta eta theta " * 10
+    rows = [
+        # out-of-order multi-turn conv with an empty-text turn in the middle
+        Row(conv_id="ord", turn_idx=2, role="user", text="tail words here", tool=None, ts=None),
+        Row(conv_id="ord", turn_idx=0, role="user", text=long_a, tool=None, ts=None),
+        Row(conv_id="ord", turn_idx=1, role="assistant", text="", tool=None, ts=None),
+        # conv shorter than k (k=12): empty minimizer set
+        Row(conv_id="tiny", turn_idx=0, role="user", text="ab", tool=None, ts=None),
+        # byte-exact duplicate pair (single-turn)
+        Row(conv_id="dupA", turn_idx=0, role="user", text=emoji, tool=None, ts=None),
+        Row(conv_id="dupB", turn_idx=0, role="user", text=emoji, tool=None, ts=None),
+        # unrelated single-turn conv
+        Row(conv_id="solo", turn_idx=0, role="user", text=long_a[::-1], tool=None, ts=None),
+    ]
+    corpus = spark.createDataFrame(rows, TRANSCRIPT_SCHEMA)
+    cfg = DedupConfig(sketch=SKETCH, jaccard_threshold=THETA)
+
+    store = StageStore(root=str(tmp_path / "adv"))
+    res = run_dedup(spark, corpus, cfg, store=store)
+    got = {r["conv_id"]: r["cluster_id"] for r in res.clusters.collect()}
+    assert set(got) == {"ord", "tiny", "dupA", "dupB", "solo"}
+    assert got["dupA"] == got["dupB"], "byte-identical convs must cluster"
+    assert got["tiny"] == "tiny" and got["solo"] == "solo" and got["ord"] == "ord"
+
+    # delta the same shapes: a dup of the emoji doc, a fresh tiny doc, and
+    # an empty-text single-turn conv
+    new_rows = [
+        Row(conv_id="dupC", turn_idx=0, role="user", text=emoji, tool=None, ts=None),
+        Row(conv_id="tiny2", turn_idx=0, role="user", text="cd", tool=None, ts=None),
+        Row(conv_id="blank", turn_idx=0, role="user", text="", tool=None, ts=None),
+    ]
+    delta = run_dedup_delta(
+        spark, spark.createDataFrame(new_rows, TRANSCRIPT_SCHEMA), cfg, store,
+        commit=True,
+    )
+    got2 = {r["conv_id"]: r["cluster_id"] for r in delta.clusters.collect()}
+    assert set(got2) == set(got) | {"dupC", "tiny2", "blank"}
+    assert got2["dupC"] == got2["dupA"] == got2["dupB"], \
+        "delta exact-dup must join the existing cluster"
+    assert got2["tiny2"] == "tiny2" and got2["blank"] == "blank"
+    # untouched assignments unchanged
+    for cid in ("ord", "tiny", "solo"):
+        assert got2[cid] == got[cid]
+    delta.release()
+
+
 def test_dedup_recall_on_driver_documents(spark):
     """Recall >= 0.99 on the driver-provided documents table (sf0.001) vs
     brute-force all-pairs minimizer Jaccard at the same config."""
