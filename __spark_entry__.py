@@ -611,7 +611,11 @@ def q_dedup_clusters_invariant(spark, sf):
         F.expr("substring(text, 11)").alias("text"),
     )
     seeded = d.unionByName(mutated)
-    res = run_dedup(spark, _docs_as_transcripts(seeded), DedupConfig(sketch=_SKETCH))
+    # max_bucket_size=None (ADVICE r04): like the other invariant oracles, no
+    # planted pair may be capped away by a naturally hot bucket at larger sf —
+    # a dropped bucket would fail the oracle with no kernel bug present
+    res = run_dedup(spark, _docs_as_transcripts(seeded),
+                    DedupConfig(sketch=_SKETCH, max_bucket_size=None))
     c = res.clusters.select(F.col("conv_id").cast("long").alias("doc_id"), "cluster_id")
     orig = c.where(F.col("doc_id") < 1000000).select(
         F.col("doc_id").alias("orig_id"), F.col("cluster_id").alias("c_orig")

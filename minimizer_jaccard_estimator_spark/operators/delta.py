@@ -51,8 +51,13 @@ from .verify import verify_pairs, verify_pairs_staged
 # candidate-id pushdown cap: at or below this many distinct candidate ids the
 # verify prune is an `isin` filter (pushable into the parquet scan of the
 # corpus sketches table → row-group skipping); above it, a left-semi join
-# (still prunes before the wide-array joins, without a driver-side id list)
-_ID_PUSHDOWN_CAP = 10_000
+# (still prunes before the wide-array joins, without a driver-side id list).
+# Kept SMALL (ADVICE r04): the In list is baked into every downstream plan
+# string (including the materialized delta_verified write), bloating driver
+# plan processing, and parquet degrades large In lists to a min/max range
+# filter anyway — so past a few hundred ids the literal list buys nothing the
+# left-semi join (which prunes before the wide-array joins) doesn't.
+_ID_PUSHDOWN_CAP = 256
 
 
 @dataclass
@@ -94,6 +99,7 @@ def run_dedup_delta(
     cfg: DedupConfig,
     store: StageStore,
     commit: bool = False,
+    adopt_legacy_config: bool = False,
 ) -> DeltaResult:
     """Dedup ``new_transcripts`` against the corpus checkpointed in ``store``
     (must hold completed conv_text, sketches, and clusters stages from a
@@ -126,9 +132,25 @@ def run_dedup_delta(
     # different sketch config — mismatched band hashes would silently yield
     # zero old-vs-new candidates, and a mismatched backfill would poison the
     # probe tables for every future correct-config delta (ADVICE r03).
-    # Legacy (pre-manifest) stores are stamped on first COMMITTED delta;
-    # commit=False stays read-only and relies on the documented precondition.
-    check_store_manifest(spark, store, cfg.sketch, stamp=commit)
+    # Legacy (pre-manifest) stores hold stages built at an UNKNOWN config, so
+    # a committed delta refuses to stamp the requested config as truth unless
+    # the caller explicitly asserts it with ``adopt_legacy_config=True`` —
+    # the same conservative rule run_dedup applies to legacy resume (ADVICE
+    # r04: stamp-on-commit would write a wrong-config manifest plus
+    # wrong-config probe tables, then fail every future CORRECT-config
+    # delta).  commit=False stays read-only under the documented
+    # same-config precondition.
+    if commit and not adopt_legacy_config and store.read_manifest(spark) is None:
+        raise ValueError(
+            "store has no sketch-config manifest (built before manifests "
+            "existed): its stages were produced at an unknown config, and a "
+            "committed delta would stamp the requested config as truth plus "
+            "backfill probe tables at it.  Pass adopt_legacy_config=True to "
+            "assert the store was built at exactly this config, or rebuild "
+            "the store with run_dedup"
+        )
+    check_store_manifest(spark, store, cfg.sketch,
+                         stamp=commit and adopt_legacy_config)
     old_conv = store.load(spark, "conv_text")
     old_sk = store.load(spark, "sketches")
     old_clusters = store.load(spark, "clusters")

@@ -239,8 +239,19 @@ def test_delta_migrates_legacy_store_without_probe_tables(spark, tmp_path):
     assert not store.exists("bands") and not store.exists("digests")
     assert store.read_manifest(spark) is None
 
-    # first committed delta migrates in place: probe tables + manifest appear
-    delta2 = run_dedup_delta(spark, new, CFG, store, commit=True)
+    # a committed delta REFUSES to adopt a legacy store's unknown config
+    # unless the caller explicitly asserts it (ADVICE r04: stamp-on-commit
+    # would write the requested config as truth over unknown-config stages)
+    import pytest
+
+    with pytest.raises(ValueError, match="adopt_legacy_config"):
+        run_dedup_delta(spark, new, CFG, store, commit=True)
+    assert store.read_manifest(spark) is None
+
+    # first committed delta (with the explicit opt-in) migrates in place:
+    # probe tables + manifest appear
+    delta2 = run_dedup_delta(spark, new, CFG, store, commit=True,
+                             adopt_legacy_config=True)
     assert _canon(delta2.clusters) == _canon(full.clusters)
     assert store.exists("bands") and store.exists("digests")
     assert store.read_manifest(spark) is not None
