@@ -181,14 +181,36 @@ def full_sketch_udf(cfg: SketchConfig):
     simhash) in ONE shingle pass — the dedup pipeline hot path.
 
     Fingerprints are computed once per document; the (w,k) winnow, the
-    seed-matrix MinHash (vectorized across all num_perm seeds), and SimHash
-    all reuse them.  Semantically identical to sketch_udf + signature_udf
-    composed (equality is tested), at roughly half the Python cost.
+    MinHash signature, and SimHash all reuse them.  Semantically identical
+    to sketch_udf + signature_udf composed (equality is tested).
     ``cfg.include_positions=False`` drops the positions array from the
     output (parity/debug only; unused by dedup).
+
+    Text mode runs the SEGMENTED batch kernels
+    (:mod:`..kernels_batch`): the whole Arrow batch is concatenated and
+    sketched with one set of numpy calls, removing the per-document Python
+    loop that floored throughput on short documents (VERDICT r04 #4;
+    bit-parity with the per-document kernels is pinned in
+    tests/test_kernels.py).  DNA mode keeps the per-document path (parity
+    domain, not the scale path).
     """
     seeds = cfg.seeds()
     with_pos = cfg.include_positions
+
+    if cfg.mode == "text":
+        from ..kernels_batch import batch_full_sketch_text
+
+        def run_text(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for texts in batches:
+                cols = batch_full_sketch_text(
+                    texts, cfg.k, cfg.w, cfg.hash_type, cfg.hash_seed,
+                    cfg.minhash_scheme, cfg.num_perm,
+                    seeds if cfg.minhash_scheme != "oph" else None,
+                    cfg.simhash_seed, cfg.hash_type, with_pos,
+                )
+                yield pd.DataFrame(cols)
+
+        return F.pandas_udf(run_text, _full_fields(cfg))
 
     def run(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in batches:

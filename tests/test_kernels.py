@@ -363,3 +363,103 @@ def test_oph_num_perm_one():
     out = K.oph_signature(fp, 1)
     h = K.apply_hash("splitmix64", 0, np.unique(fp), 32)
     assert out.shape == (1,) and out[0] == h.min()
+
+
+# ---------------------------------------------------------------------------
+# segmented batch kernels (kernels_batch): bit-parity vs per-document kernels
+# ---------------------------------------------------------------------------
+
+def _batch_corpus(rng: random.Random, n: int) -> list:
+    """Adversarial text corpus: empty docs, docs shorter than k / than w+k-1,
+    unicode, heavy shingle duplication, exact duplicates, None."""
+    words = ["alpha", "beta", "gamma", "delta", "omega", "héllo", "wörld", "🦜"]
+    docs = []
+    for i in range(n):
+        kind = i % 7
+        if kind == 0:
+            docs.append("")
+        elif kind == 1:
+            docs.append(None)
+        elif kind == 2:
+            docs.append("short")  # < k
+        elif kind == 3:
+            docs.append(" ".join(rng.choices(words, k=4)))  # few shingles < w
+        elif kind == 4:
+            docs.append(("dup " * 40))  # heavy duplicate shingles
+        elif kind == 5 and docs:
+            docs.append(docs[rng.randrange(len(docs))])  # exact duplicate
+        else:
+            docs.append(" ".join(rng.choices(words, k=rng.randint(10, 120))))
+    return docs
+
+
+@pytest.mark.parametrize("hash_type", ["splitmix64", "minimap2", "murmurhash3"])
+@pytest.mark.parametrize("scheme", ["oph", "seeded"])
+def test_batch_full_sketch_bit_parity(hash_type, scheme):
+    from minimizer_jaccard_estimator_spark import kernels_batch as KB
+    from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
+
+    rng = random.Random(hash(("batch", hash_type, scheme)) & 0xFFFF)
+    docs = _batch_corpus(rng, 60)
+    num_perm = 16 if scheme == "seeded" else 32
+    cfg = SketchConfig(k=12, w=20, hash_type=hash_type, hash_seed=7,
+                       num_perm=num_perm, lsh_bands=8, minhash_scheme=scheme)
+    seeds = cfg.seeds()
+    got = KB.batch_full_sketch_text(
+        docs, cfg.k, cfg.w, cfg.hash_type, cfg.hash_seed, scheme,
+        cfg.num_perm, seeds if scheme != "oph" else None,
+        cfg.simhash_seed, cfg.hash_type, True,
+    )
+    for i, t in enumerate(docs):
+        t = t or ""
+        fp = K.shingle_fingerprints(t, cfg.k)
+        h = K.apply_hash(cfg.hash_type, cfg.hash_seed, fp, 32) if fp.size else fp
+        v, p = K.winnow_minimizers(h, cfg.w)
+        assert np.array_equal(K.i64_to_u64(got["minimizers"][i]), v), (i, t[:40])
+        assert np.array_equal(got["positions"][i], p.astype(np.int32)), i
+        assert got["n_shingles"][i] == h.shape[0], i
+        assert got["n_dups"][i] == K.count_hash_duplicates(h), i
+        sig = cfg.minhash(fp, seeds)
+        assert np.array_equal(K.i64_to_u64(got["minhash"][i]), sig), (i, scheme)
+        sh = K.simhash64(fp, cfg.simhash_seed, cfg.hash_type)
+        want = sh - (1 << 64) if sh >= (1 << 63) else sh
+        assert int(got["simhash"][i]) == want, i
+
+
+def test_batch_full_sketch_num_perm_one_and_empty_batch():
+    from minimizer_jaccard_estimator_spark import kernels_batch as KB
+
+    got = KB.batch_full_sketch_text(
+        ["aaaa bbbb cccc dddd eeee ffff", ""], 4, 3, "splitmix64", 0,
+        "oph", 1, None, 0x5117B6A5, "splitmix64", False,
+    )
+    fp = K.shingle_fingerprints("aaaa bbbb cccc dddd eeee ffff", 4)
+    assert K.i64_to_u64(got["minhash"][0])[0] == K.oph_signature(fp, 1)[0]
+    assert K.i64_to_u64(got["minhash"][1])[0] == K.oph_signature(K._EMPTY_U64, 1)[0]
+
+    empty = KB.batch_full_sketch_text([], 4, 3, "splitmix64", 0, "oph", 8,
+                                      None, 0, "splitmix64", True)
+    assert empty["minimizers"] == [] and empty["minhash"] == []
+    assert empty["n_shingles"].shape == (0,)
+
+
+def test_batch_simhash_large_segment_chunking():
+    """Segments larger than 255 rows must split into uint8-safe reduceat
+    sub-groups whose partial sums recombine exactly (the overflow path)."""
+    from minimizer_jaccard_estimator_spark import kernels_batch as KB
+
+    rng = np.random.default_rng(9)
+    uh = rng.integers(0, 1 << 63, size=3000, dtype=np.uint64)
+    useg = np.zeros(3000, dtype=np.int64)
+    useg[2500:] = 1
+    got = KB.batch_simhash(uh, useg, 2)
+    for d, sl in ((0, slice(0, 2500)), (1, slice(2500, None))):
+        h = uh[sl]
+        bits = ((h[:, None] >> np.arange(64, dtype=np.uint64)[None, :])
+                & np.uint64(1)).astype(np.int64)
+        votes = bits.sum(axis=0) * 2 - h.shape[0]
+        expect = 0
+        for b in np.nonzero(votes > 0)[0]:
+            expect |= 1 << int(b)
+        expect_i64 = expect - (1 << 64) if expect >= (1 << 63) else expect
+        assert int(got[d]) == expect_i64, d
