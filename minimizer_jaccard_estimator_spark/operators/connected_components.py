@@ -105,7 +105,11 @@ def connected_components(
         schema = edges.select(
             F.col("src").alias("conv_id"), F.col("dst").alias("cluster_id")
         ).schema
-        return spark.createDataFrame(labeled, schema)
+        # broadcast hint: this result is driver-bounded (<= driver_threshold
+        # edges, already collected), and the caller's next step is a left
+        # join against the corpus id list — a shuffle there would be a pure
+        # scale-flat stage for data that provably fits on every executor
+        return F.broadcast(spark.createDataFrame(labeled, schema))
 
     # iterative path: truncate lineage per iteration (plans stay bounded)
     edges = edges.localCheckpoint()

@@ -96,6 +96,37 @@ def check_store_manifest(
         store.write_manifest(spark, mine)
 
 
+def load_clusters(spark: SparkSession, store: StageStore) -> DataFrame:
+    """The store's CURRENT cluster assignment: the ``clusters`` base table
+    overlaid with any ``clusters_overrides`` rows committed by deltas.
+
+    Deltas commit O(delta)-sized override rows instead of rewriting the
+    O(corpus) assignment (VERDICT r04 #2); the read path applies the
+    highest-``seq`` override per conv_id on top of the base — one corpus
+    scan, no corpus-keyed shuffle (the override side is delta-sized, AQE
+    broadcasts both the latest-pick and the anti join).  Stores without an
+    override table (fresh runs, or just-compacted stores) read the base
+    verbatim.
+    """
+    base = store.load(spark, "clusters")
+    if not store.exists("clusters_overrides", spark):
+        return base
+    ov = store.load(spark, "clusters_overrides")
+    from pyspark.sql import Window
+
+    latest = (
+        ov.withColumn(
+            "_rn",
+            F.row_number().over(
+                Window.partitionBy("conv_id").orderBy(F.col("seq").desc())
+            ),
+        )
+        .where(F.col("_rn") == 1)
+        .select("conv_id", "cluster_id")
+    )
+    return base.join(latest.select("conv_id"), "conv_id", "left_anti").unionByName(latest)
+
+
 @dataclass
 class DedupResult:
     conv_text: DataFrame
@@ -163,10 +194,22 @@ def run_dedup(
         # positions are parity/debug-only; dedup compares minimizer VALUE
         # sets (verify.py), so don't pay their Arrow/cache/shuffle weight
         sk_cfg = replace(cfg.sketch, include_positions=False)
-        sk = add_full_sketch(src, sk_cfg).drop("text")
+        # the exact-dup text digest rides along in the SAME pass (JVM
+        # xxhash64 beside the Arrow UDF): the candidates stage then reads the
+        # narrow persisted/written sketch columns instead of re-scanning the
+        # corpus text, and the digests probe table becomes a projection of
+        # this stage (VERDICT r04 #1: fewer passes over the text bytes)
+        sk = add_full_sketch(src, sk_cfg) \
+            .withColumn("digest", text_digest(F.col("text"))).drop("text")
         sketches = store.materialize(spark, "sketches", sk)
     if store.root is None:
         sketches = sketches.persist()
+    # resumed legacy stores predate the digest column; fall back to hashing
+    # the corpus text as before
+    digest_src = (
+        sketches.select("conv_id", "digest") if "digest" in sketches.columns
+        else conv_text.select("conv_id", text_digest(F.col("text")).alias("digest"))
+    )
 
     # -- incremental-ingestion side tables (store runs only): the 8 B/doc
     # text digests and the ~24 B/row band table.  run_dedup_delta probes
@@ -176,10 +219,7 @@ def run_dedup(
     # band computations were needed by this run's candidate stage anyway.
     digests = bands = None
     if store.root is not None:
-        digests = store.materialize(
-            spark, "digests",
-            conv_text.select("conv_id", text_digest(F.col("text")).alias("digest")),
-        )
+        digests = store.materialize(spark, "digests", digest_src)
         bands = store.materialize(
             spark, "bands",
             band_hashes(sketches.select("conv_id", "minhash"), cfg.sketch),
@@ -189,7 +229,7 @@ def run_dedup(
     # exact is needed again in the clusters stage (short-text dup bypass);
     # persist so the digest groupBy runs once, and register internal LSH
     # caches for release once the pipeline's outputs are materialized
-    exact = exact_dup_pairs(conv_text, digests=digests).persist()
+    exact = exact_dup_pairs(conv_text, digests=digests or digest_src).persist()
     caches: list[DataFrame] = [exact]
     if store.exists("candidates"):
         candidates = store.load(spark, "candidates")
@@ -201,6 +241,9 @@ def run_dedup(
             with_dropped=want_dropped,
             cache_registry=caches,
             bands=bands,
+            # the union with the exact pairs is distinct'd right below — an
+            # internal distinct here would shuffle the pair set twice
+            distinct=False,
         )
         if want_dropped:
             # no silent caps: record exactly which hot buckets were excluded
@@ -252,18 +295,20 @@ def run_dedup(
 
     # -- cluster the accepted pairs; isolated convs cluster as themselves
     if store.exists("clusters"):
-        clusters = store.load(spark, "clusters")
+        # resumed stores may carry delta-committed override rows
+        clusters = load_clusters(spark, store)
     else:
         accepted = verified.where(F.col("j_mini") >= cfg.jaccard_threshold)
         accepted = accepted.select("id_a", "id_b")
         # exact-digest pairs are provably identical texts and bypass the
         # Jaccard threshold: texts shorter than k have EMPTY minimizer sets
-        # (j_mini = 0), which must not unlink byte-identical duplicates
-        accepted = accepted.union(exact).distinct()
+        # (j_mini = 0), which must not unlink byte-identical duplicates.
+        # No .distinct() here: connected_components dedups its edge set
+        # internally, so a distinct at this level is a pure extra shuffle
+        # (the scale-flat stage-count term, VERDICT r04 #1)
+        accepted = accepted.union(exact)
         if spans is not None:
-            accepted = accepted.union(
-                substring_dup_pairs(spans, cfg.substring_min_cov)
-            ).distinct()
+            accepted = accepted.union(substring_dup_pairs(spans, cfg.substring_min_cov))
         comp = connected_components(accepted)
         all_ids = conv_text.select("conv_id")
         clusters = (

@@ -48,8 +48,13 @@ def lsh_candidate_pairs(
     with_dropped: bool = False,
     cache_registry: list | None = None,
     bands: DataFrame | None = None,
+    distinct: bool = True,
 ) -> DataFrame | tuple[DataFrame, DataFrame]:
     """Distinct candidate pairs (id_a < id_b) sharing any LSH band bucket.
+
+    ``distinct=False`` skips the final pair dedup shuffle — for callers that
+    union these pairs with another source and distinct the union themselves
+    (the dedup pipeline), a distinct here would shuffle the pair set twice.
 
     The band table is shipped ONCE: a map-side-combined count aggregation
     sizes the buckets first (it shuffles tiny partially-aggregated count
@@ -112,8 +117,9 @@ def lsh_candidate_pairs(
             F.least("_a", "_b").alias("id_a"),
             F.greatest("_a", "_b").alias("id_b"),
         )
-        .distinct()
     )
+    if distinct:
+        pairs = pairs.distinct()
     if with_dropped:
         return pairs, dropped
     return pairs

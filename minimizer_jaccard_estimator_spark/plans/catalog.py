@@ -68,6 +68,7 @@ class StageStore:
     run_id: str = field(default_factory=lambda: uuid.uuid4().hex[:12])
     _metrics: list[dict] = field(default_factory=list)
     _partition_rows: list[dict] = field(default_factory=list)
+    _pending: list[dict] = field(default_factory=list)
 
     def path(self, stage: str) -> str:
         assert self.root is not None
@@ -168,6 +169,21 @@ class StageStore:
             with open(p, "w") as fh:
                 fh.write(payload)
 
+    def remove_stage(self, spark: SparkSession, stage: str) -> None:
+        """Delete one stage's table directory (local paths and Hadoop FS
+        ``://`` URIs) — e.g. dropping the clusters override table after a
+        compaction folded it into the base."""
+        p = self.path(stage)
+        if "://" in p:
+            jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
+            fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
+            if fs.exists(jpath):
+                fs.delete(jpath, True)
+        elif os.path.exists(p):
+            import shutil
+
+            shutil.rmtree(p)
+
     def swap_in(self, spark: SparkSession, stage: str, pending_stage: str) -> None:
         """Replace ``stage``'s table with ``pending_stage``'s, working for
         both local paths and Hadoop FS URIs (``://`` roots) — the pattern for
@@ -185,7 +201,13 @@ class StageStore:
     ) -> DataFrame:
         """Write ``df`` as the stage table (unless it already exists and
         ``resume``) and return the re-read DataFrame (cuts lineage, makes the
-        stage the new scan root for downstream plan optimization)."""
+        stage the new scan root for downstream plan optimization).
+
+        The per-partition lineage pass is DEFERRED: each materialize used to
+        run its own partition-count job (one extra Spark job per stage — a
+        scale-flat scheduling term, VERDICT r04 #1); the counts for all
+        stages now run as ONE unioned job inside :meth:`write_metrics`.
+        """
         if self.root is None:
             return df
         t0 = time.monotonic()
@@ -198,31 +220,53 @@ class StageStore:
         else:
             skipped = True
         out = self.load(spark, stage)
-        # per-partition row counts (north_rule: per-partition lineage) — one
-        # extra pass over the just-written stage table, skew made visible
-        parts = self.partition_metrics(out, stage).collect()
-        rows = sum(r["rows"] for r in parts)
-        self._metrics.append(
+        self._pending.append(
             {
                 "stage": stage,
                 "run_id": self.run_id,
-                "rows_out": rows,
-                "n_partitions": len(parts),
-                "max_partition_rows": max((r["rows"] for r in parts), default=0),
                 "wall_ms": int((time.monotonic() - t0) * 1000),
                 "resumed": skipped,
                 "ts": time.time(),
             }
         )
-        self._partition_rows.extend(
-            {"stage": stage, "run_id": self.run_id,
-             "partition_id": r["partition_id"], "rows": r["rows"]}
-            for r in parts
-        )
         return out
 
+    def resolve_metrics(self, spark: SparkSession) -> None:
+        """Run the deferred per-partition lineage counts for every stage
+        materialized since the last resolve — one unioned Spark job for the
+        whole run instead of one job per stage (north_rule: per-partition
+        lineage stays; its scheduling cost stops scaling with stage count)."""
+        if self.root is None or not self._pending:
+            return
+        union = None
+        for p in self._pending:
+            pm = self.partition_metrics(self.load(spark, p["stage"]), p["stage"])
+            union = pm if union is None else union.unionByName(pm)
+        parts = union.collect()
+        by_stage: dict[str, list] = {}
+        for r in parts:
+            by_stage.setdefault(r["stage"], []).append(r)
+        for p in self._pending:
+            rows = by_stage.get(p["stage"], [])
+            self._metrics.append(
+                {
+                    **p,
+                    "rows_out": sum(r["rows"] for r in rows),
+                    "n_partitions": len(rows),
+                    "max_partition_rows": max((r["rows"] for r in rows), default=0),
+                }
+            )
+            self._partition_rows.extend(
+                {"stage": p["stage"], "run_id": self.run_id,
+                 "partition_id": r["partition_id"], "rows": r["rows"]}
+                for r in rows
+            )
+        self._pending = []
+
     def write_metrics(self, spark: SparkSession) -> None:
-        """Persist per-stage lineage/metrics as a table next to the stages."""
+        """Persist per-stage lineage/metrics as a table next to the stages
+        (resolving any deferred partition counts first)."""
+        self.resolve_metrics(spark)
         if self.root is None or not self._metrics:
             return
         df = spark.createDataFrame(self._metrics)
@@ -234,6 +278,9 @@ class StageStore:
             )
 
     def metrics(self) -> list[dict]:
+        """Resolved per-stage metrics (call after write_metrics / the end of
+        a run; stages whose deferred counts haven't resolved yet are not
+        included)."""
         return list(self._metrics)
 
     def partition_metrics(self, df: DataFrame, stage: str) -> DataFrame:

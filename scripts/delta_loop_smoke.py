@@ -113,7 +113,9 @@ def main() -> int:
 
     # -- cluster equality vs one full recompute ------------------------------
     from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
-    from minimizer_jaccard_estimator_spark.operators.dedup import DedupConfig, run_dedup
+    from minimizer_jaccard_estimator_spark.operators.dedup import (
+        DedupConfig, load_clusters, run_dedup)
+    from minimizer_jaccard_estimator_spark.plans.catalog import StageStore
 
     cfg = DedupConfig(sketch=SketchConfig(k=12, w=20, num_perm=64, lsh_bands=32))
     full = run_dedup(spark, corpus, cfg)
@@ -124,7 +126,8 @@ def main() -> int:
             groups.setdefault(r["cluster_id"], set()).add(r["conv_id"])
         return {frozenset(g) for g in groups.values()}
 
-    looped = canon(spark.read.parquet(os.path.join(store_root, "clusters")))
+    # the current assignment = base table + any delta override rows
+    looped = canon(load_clusters(spark, StageStore(root=store_root)))
     recomputed = canon(full.clusters)
     assert looped == recomputed, (
         f"3-batch delta loop diverged from full recompute: "

@@ -101,9 +101,12 @@ def test_two_committed_deltas_match_full_recompute(spark, tmp_path):
     with pytest.raises(ValueError, match="already present"):
         run_dedup_delta(spark, part1.limit(20), CFG, store)
 
-    # the store's stage tables contain the full corpus
+    # the store's stage tables contain the full corpus (clusters = the base
+    # table overlaid with the deltas' O(delta) override rows)
+    from minimizer_jaccard_estimator_spark.operators.dedup import load_clusters
+
     assert store.load(spark, "conv_text").count() == corpus.select("conv_id").distinct().count()
-    assert store.load(spark, "clusters").count() == corpus.select("conv_id").distinct().count()
+    assert load_clusters(spark, store).count() == corpus.select("conv_id").distinct().count()
 
 
 def test_committed_delta_result_stable_after_commit(spark, tmp_path):
@@ -396,3 +399,79 @@ def test_digest_contract_shared_across_call_sites(spark, tmp_path):
     stored = {(r.id_a, r.id_b)
               for r in exact_dup_pairs(conv, digests=digests).collect()}
     assert inline == stored == {("c0", "c1")}
+
+
+def test_committed_delta_writes_override_not_corpus_rewrite(spark, tmp_path):
+    """VERDICT r04 #2: a committed delta must NOT rewrite the O(corpus)
+    clusters base table — it appends O(delta) override rows that
+    load_clusters overlays (latest seq wins), and the merged view equals a
+    full recompute."""
+    import os
+
+    from minimizer_jaccard_estimator_spark.operators.dedup import load_clusters
+
+    corpus = synthetic_transcripts(spark, n_base=30, dup_factor=2, seed=77).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 4 != 0)
+    new = corpus.where(idx % 4 == 0)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, CFG, store=store)
+
+    def files(stage):
+        d = os.path.join(store.root, stage)
+        return {
+            f: (os.path.getsize(os.path.join(d, f)),
+                os.path.getmtime(os.path.join(d, f)))
+            for f in os.listdir(d) if not f.startswith("_")
+        }
+
+    base_before = files("clusters")
+    delta = run_dedup_delta(spark, new, CFG, store, commit=True,
+                            compact_overrides_threshold=1e18)
+    # base table byte-untouched; override table appeared and is delta-sized
+    assert files("clusters") == base_before, "base clusters table was rewritten"
+    ov = spark.read.parquet(os.path.join(store.root, "clusters_overrides"))
+    n_new = new.select("conv_id").distinct().count()
+    n_corpus = corpus.select("conv_id").distinct().count()
+    assert n_new <= ov.count() < n_corpus
+    assert set(ov.columns) == {"conv_id", "cluster_id", "seq"}
+
+    full = run_dedup(spark, corpus, CFG)
+    assert _canon(delta.clusters) == _canon(full.clusters)
+    assert _canon(load_clusters(spark, store)) == _canon(full.clusters)
+
+    # a SECOND committed delta stacks a higher-seq override and still merges
+    more = synthetic_transcripts(spark, n_base=6, dup_factor=1, seed=99)
+    more = more.select(
+        F.concat(F.lit("x"), "conv_id").alias("conv_id"), "turn_idx",
+        "role", "text", "tool", "ts",
+    )
+    delta2 = run_dedup_delta(spark, more, CFG, store, commit=True,
+                             compact_overrides_threshold=1e18)
+    full2 = run_dedup(spark, corpus.unionByName(more), CFG)
+    assert _canon(delta2.clusters) == _canon(full2.clusters)
+
+
+def test_delta_override_compaction_folds_into_base(spark, tmp_path):
+    """Once overrides outgrow the threshold, one compaction folds them into
+    a fresh base and drops the override table; results are unchanged."""
+    import os
+
+    from minimizer_jaccard_estimator_spark.operators.dedup import load_clusters
+
+    corpus = synthetic_transcripts(spark, n_base=24, dup_factor=2, seed=13).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 3 != 0)
+    new = corpus.where(idx % 3 == 0)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, CFG, store=store)
+    delta = run_dedup_delta(spark, new, CFG, store, commit=True,
+                            compact_overrides_threshold=0.0)
+    assert not os.path.exists(os.path.join(store.root, "clusters_overrides"))
+    full = run_dedup(spark, corpus, CFG)
+    assert _canon(delta.clusters) == _canon(full.clusters)
+    assert _canon(load_clusters(spark, store)) == _canon(full.clusters)
+    base = spark.read.parquet(os.path.join(store.root, "clusters"))
+    assert base.count() == corpus.select("conv_id").distinct().count()
