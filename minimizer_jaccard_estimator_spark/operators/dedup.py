@@ -29,7 +29,7 @@ from .lsh import (
     simhash_filter,
     text_digest,
 )
-from .substring import duplicate_spans, substring_dup_pairs
+from .substring import anchor_table, duplicate_spans, substring_dup_pairs
 from .verify import attach_pair_columns, verify_pairs, verify_pairs_staged
 
 
@@ -44,6 +44,11 @@ class DedupConfig:
     # shared spans cover >= substring_min_cov of either side's bytes
     substring_min_len: int | None = None  # None => pass off
     substring_min_cov: float = 0.8
+    # hot-anchor frequency cap for the substring pass (the LSH bucket cap's
+    # twin — boilerplate anchors shared by > this many docs are excluded,
+    # recorded, never silently dropped; None disables the cap).  The delta
+    # path reuses THIS value so delta == full-recompute holds per config
+    substring_max_anchor_docs: int | None = 200
     # round-robin rebalance of assembled conversations before the sketch UDF:
     # the assembly shuffle is keyed by conv_id, so hot conversations (8x-size
     # skew family) cluster into straggler partitions; an explicit rebalance
@@ -94,6 +99,32 @@ def check_store_manifest(
             )
     elif stamp:
         store.write_manifest(spark, mine)
+
+
+_ANCHORS_MANIFEST = "_anchors_config.json"
+
+
+def check_anchors_manifest(
+    spark: SparkSession, store: StageStore, min_len: int, stamp: bool
+) -> None:
+    """The substring ``anchors`` probe table is min_len-dependent (the winnow
+    (k, w) derive from it), which the sketch-config manifest does not cover:
+    probing it at a different min_len would silently yield wrong anchor
+    matches.  Same fail-loudly rule as :func:`check_store_manifest`."""
+    if store.root is None:
+        return
+    mine = {"substring_min_len": min_len}
+    stamped = store.read_manifest(spark, _ANCHORS_MANIFEST)
+    if stamped is not None:
+        if stamped != mine:
+            raise ValueError(
+                f"substring anchors-config mismatch vs the store's manifest "
+                f"(stored {stamped} != requested {mine}): the anchors probe "
+                "table is only valid at the substring_min_len that produced "
+                "it — rebuild the store to change it"
+            )
+    elif stamp:
+        store.write_manifest(spark, mine, _ANCHORS_MANIFEST)
 
 
 def load_clusters(spark: SparkSession, store: StageStore) -> DataFrame:
@@ -280,12 +311,38 @@ def run_dedup(
             spans = store.load(spark, "spans")
         else:
             want_dropped = store.root is not None
+            # store runs materialize the distinct (conv_id, anchor) table as
+            # the delta ingestion probe stage (the substring twin of the
+            # digests/bands tables): run_dedup_delta anchors NEW docs against
+            # it instead of re-winnowing the corpus text, and committed
+            # deltas append their anchor rows.  The winnow UDF was needed by
+            # this run's candidate stage anyway — the probe is one narrow
+            # write, not an extra pass.
+            anchors_probe = None
+            if store.root is not None:
+                # the anchors probe is only valid at the min_len that built
+                # it (stamped as a manifest sidecar, mirroring the sketch
+                # config rule); legacy stores with a completed anchors stage
+                # are never stamped — same conservatism as run_dedup resume
+                check_anchors_manifest(
+                    spark, store, cfg.substring_min_len,
+                    stamp=not store.exists("anchors", spark),
+                )
+                anchors_probe = store.materialize(
+                    spark, "anchors",
+                    anchor_table(
+                        conv_text, cfg.substring_min_len,
+                        cfg.sketch.hash_type, cfg.sketch.hash_seed,
+                    ).select(F.col("id").alias("conv_id"), "anchor").distinct(),
+                ).select(F.col("conv_id").alias("id"), "anchor")
             sp = duplicate_spans(
                 conv_text,
                 cfg.substring_min_len,
                 hash_type=cfg.sketch.hash_type,
                 seed=cfg.sketch.hash_seed,
+                max_bucket_size=cfg.substring_max_anchor_docs,
                 with_dropped=want_dropped,
+                anchors=anchors_probe,
             )
             if want_dropped:
                 sp, dropped_anchors = sp

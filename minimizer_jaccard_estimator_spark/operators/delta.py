@@ -44,9 +44,15 @@ from ..functions.sketch import add_full_sketch
 from ..plans.catalog import StageStore
 from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
-from .dedup import DedupConfig, check_store_manifest, load_clusters
-from .lsh import band_hashes, text_digest
-from .verify import verify_pairs, verify_pairs_staged
+from .dedup import (
+    DedupConfig,
+    check_anchors_manifest,
+    check_store_manifest,
+    load_clusters,
+)
+from .lsh import band_hashes, simhash_filter, text_digest
+from .substring import anchor_table, span_stats_for_pairs, substring_dup_pairs
+from .verify import attach_pair_columns, verify_pairs, verify_pairs_staged
 
 # candidate-id pushdown cap: at or below this many distinct candidate ids the
 # verify prune is an `isin` filter (pushable into the parquet scan of the
@@ -74,6 +80,12 @@ class DeltaResult:
     # no-commit mode this is lineage-backed by an internal cache: consume it
     # BEFORE release(), or the evaluation re-runs the band probe from scratch
     dropped_buckets: DataFrame | None = None
+    # substring pass (when cfg.substring_min_len is set): the delta's span
+    # table (pairs with >=1 new endpoint) and the hot anchors excluded by the
+    # frequency cap — same no-silent-caps / commit-vs-what-if rules as
+    # dropped_buckets above
+    spans: DataFrame | None = None
+    dropped_anchors: DataFrame | None = None
     _caches: list[DataFrame] | None = None
 
     def release(self) -> None:
@@ -121,13 +133,6 @@ def run_dedup_delta(
     without digests/bands probe tables are backfilled only by the first
     committed delta (read-only runs derive the probe rows lazily).
     """
-    if cfg.simhash_max_hamming is not None or cfg.substring_min_len is not None:
-        # these would make delta results diverge from a full recompute at
-        # the same config — refuse loudly rather than silently dropping them
-        raise ValueError(
-            "run_dedup_delta does not implement simhash_max_hamming or the "
-            "substring pass; run a full run_dedup for those configs"
-        )
     for stage in ("conv_text", "sketches", "clusters"):
         if not store.exists(stage, spark):
             raise ValueError(f"store is missing completed stage {stage!r}")
@@ -290,6 +295,24 @@ def run_dedup_delta(
     )
     candidates = exact.union(lsh).distinct()
 
+    if cfg.simhash_max_hamming is not None:
+        # SimHash prefilter, mirroring run_dedup: applied to the (exact ∪
+        # LSH) union — exact pairs re-union into `accepted` below regardless,
+        # so filtering them here cannot unlink byte-identical duplicates
+        # (same structure as the full pipeline).  The simhash lookup is
+        # pruned to the pre-filter candidate endpoints first (delta-sized),
+        # so the corpus sketches table contributes one narrow
+        # (conv_id, simhash) scan — never a per-delta wide-array pass.
+        candidates = candidates.persist()
+        caches.append(candidates)
+        sim_sk = all_sk.select("conv_id", "simhash").join(
+            _endpoint_ids(candidates), "conv_id", "leftsemi"
+        )
+        candidates = simhash_filter(
+            attach_pair_columns(candidates, sim_sk, ["simhash"]),
+            cfg.simhash_max_hamming,
+        ).select("id_a", "id_b")
+
     # commit mode materializes candidates FIRST so (a) verify below reads the
     # written table instead of re-running the whole candidate DAG (corpus
     # band scan + union + distinct — the delta's most expensive non-UDF
@@ -337,10 +360,105 @@ def run_dedup_delta(
         verified = store.materialize(spark, "delta_verified", verified,
                                      resume=False)
 
+    # -- suffix-array substring pass (when configured): the delta twin of the
+    # LSH band probe.  NEW docs are winnowed into anchors (delta-sized UDF
+    # pass); the corpus side is probed through the store's incremental
+    # ``anchors`` table (appended by every committed delta, backfilled once
+    # for stores from before the stage existed) — the corpus text is never
+    # re-winnowed.  Only anchors the delta touches can emit new pairs
+    # (old-old span pairs were resolved by the prior run and live in its
+    # cluster edges), and the semi-join keeps EVERY corpus row for a touched
+    # anchor value, so the frequency cap below sees exact global counts.
+    spans = None
+    dropped_anchors = None
+    if cfg.substring_min_len is not None:
+        new_anchors = anchor_table(
+            new_conv, cfg.substring_min_len,
+            cfg.sketch.hash_type, cfg.sketch.hash_seed,
+        ).select("id", "anchor").distinct()
+        if store.exists("anchors", spark):
+            # probing a min_len-mismatched anchors table would silently
+            # yield wrong anchor matches — fail loudly (read-only check;
+            # legacy stores without the sidecar pass under the documented
+            # same-config precondition, as with the sketch manifest)
+            check_anchors_manifest(spark, store, cfg.substring_min_len,
+                                   stamp=False)
+            old_anchors = store.load(spark, "anchors").select(
+                F.col("conv_id").alias("id"), "anchor"
+            )
+        else:
+            old_anchors = anchor_table(
+                old_conv, cfg.substring_min_len,
+                cfg.sketch.hash_type, cfg.sketch.hash_seed,
+            ).select("id", "anchor").distinct()
+            if commit:
+                # first committed delta backfills the probe table and stamps
+                # its config sidecar (adopt_legacy_config gated upstream)
+                old_anchors = store.materialize(
+                    spark, "anchors",
+                    old_anchors.select(F.col("id").alias("conv_id"), "anchor"),
+                ).select(F.col("conv_id").alias("id"), "anchor")
+                check_anchors_manifest(spark, store, cfg.substring_min_len,
+                                       stamp=True)
+        touched_anchors = new_anchors.select("anchor").distinct()
+        per_doc = old_anchors.unionByName(new_anchors).join(
+            touched_anchors, "anchor", "leftsemi"
+        )
+        new_side = new_anchors
+        if cfg.substring_max_anchor_docs is not None:
+            freq = per_doc.groupBy("anchor").agg(F.count("*").alias("n_docs")).persist()
+            caches.append(freq)
+            # no silent caps (same rule as the LSH bucket cap): commit runs
+            # record the excluded hot anchors as a lineage table, what-ifs
+            # surface them on the result only
+            dropped_anchors = freq.where(
+                F.col("n_docs") > cfg.substring_max_anchor_docs
+            ).select("anchor", "n_docs")
+            if commit:
+                dropped_anchors = store.materialize(
+                    spark, "delta_substring_dropped_anchors", dropped_anchors,
+                    resume=False,
+                )
+            keep = freq.where(
+                F.col("n_docs") <= cfg.substring_max_anchor_docs
+            ).select("anchor")
+            per_doc = per_doc.join(keep, "anchor")
+            new_side = new_side.join(keep, "anchor")
+        sub_pairs = (
+            new_side.select("anchor", F.col("id").alias("_nid"))
+            .join(per_doc.select("anchor", F.col("id").alias("_oid")), "anchor")
+            .where(F.col("_nid") != F.col("_oid"))
+            .select(F.least("_nid", "_oid").alias("id_a"),
+                    F.greatest("_nid", "_oid").alias("id_b"))
+            .distinct()
+        )
+        # per-pair suffix-array kernel over the delta pairs only; texts are
+        # pruned to the pair endpoints first so the corpus conv_text table
+        # contributes one semi-joined narrow scan, not a full text shuffle
+        pair_ids = _endpoint_ids(sub_pairs)
+        texts = (
+            old_conv.select("conv_id", "text")
+            .unionByName(new_conv.select("conv_id", "text"))
+            .join(pair_ids, "conv_id", "leftsemi")
+            .select(F.col("conv_id").alias("id"), "text")
+        )
+        spans = span_stats_for_pairs(sub_pairs, texts, cfg.substring_min_len)
+        if commit:
+            # materialized BEFORE the appends below: its plan reads old_conv
+            # (and, on backfill runs, the corpus text again), which the
+            # conv_text append modifies
+            spans = store.materialize(spark, "delta_spans", spans, resume=False)
+        else:
+            spans = spans.persist()
+            caches.append(spans)
+
     accepted = verified.where(F.col("j_mini") >= cfg.jaccard_threshold).select("id_a", "id_b")
     # exact-digest pairs are identical texts: accept regardless of j_mini
     # (texts shorter than k have empty minimizer sets and j_mini = 0)
-    accepted = accepted.union(exact).distinct().persist()
+    accepted = accepted.union(exact)
+    if spans is not None:
+        accepted = accepted.union(substring_dup_pairs(spans, cfg.substring_min_cov))
+    accepted = accepted.distinct().persist()
     caches.append(accepted)
 
     # incremental connected components (round 4): running CC over ALL prior
@@ -429,6 +547,11 @@ def run_dedup_delta(
         ).write.mode("append").format(store.format).save(store.path("digests"))
         nb.select("conv_id", "band_id", "band_hash").write.mode("append") \
             .format(store.format).save(store.path("bands"))
+        if cfg.substring_min_len is not None:
+            # the substring probe table rides the same incremental contract
+            # as digests/bands: future deltas anchor against it
+            new_anchors.select(F.col("id").alias("conv_id"), "anchor") \
+                .write.mode("append").format(store.format).save(store.path("anchors"))
         override.withColumn("seq", F.lit(prior_seq + 1)).write.mode("append") \
             .format(store.format).save(store.path("clusters_overrides"))
         ov_rows = store.load(spark, "clusters_overrides").count()
@@ -445,4 +568,5 @@ def run_dedup_delta(
             df.unpersist()
         caches = []
     return DeltaResult(new_conv, new_sk, candidates, verified, clusters,
-                       dropped_buckets=dropped_buckets, _caches=caches)
+                       dropped_buckets=dropped_buckets, spans=spans,
+                       dropped_anchors=dropped_anchors, _caches=caches)

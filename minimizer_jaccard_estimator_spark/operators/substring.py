@@ -180,41 +180,27 @@ def _span_udf(min_len: int, max_spans: int):
     return F.pandas_udf(run, _SPAN_SCHEMA)
 
 
-def duplicate_spans(
-    docs: DataFrame,
+def span_stats_for_pairs(
+    pairs: DataFrame,
+    texts: DataFrame,
     min_len: int,
-    hash_type: str = "splitmix64",
-    seed: int = 0,
-    max_bucket_size: int | None = 200,
     max_spans_per_pair: int = 64,
-    id_col: str = "conv_id",
-    text_col: str = "text",
-    with_dropped: bool = False,
-) -> DataFrame | tuple[DataFrame, DataFrame]:
-    """End-to-end suffix-array duplicate-span pass.
-
-    Output: one row per candidate doc pair with exact duplicated-byte
-    coverage on each side, the longest shared substring, the TRUE maximal
-    span count, and (capped) span coordinates.  Pairs with no span >=
-    min_len are dropped.  ``with_dropped=True`` also returns the hot-anchor
-    table excluded by the frequency cap.
-    """
-    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
-    anchors = anchor_table(base, min_len, hash_type, seed, id_col="id")
-    pairs = substring_candidate_pairs(anchors, max_bucket_size, with_dropped)
-    dropped = None
-    if with_dropped:
-        pairs, dropped = pairs
+) -> DataFrame:
+    """Run the per-pair suffix-array kernel over ``pairs`` (id_a, id_b),
+    fetching each side's text from ``texts`` (id, text).  Shared by the full
+    pass below and the delta pass (operators/delta.py), which restricts
+    ``pairs`` to delta-touched candidates and prunes ``texts`` to their
+    endpoints first.  Pairs with no span >= min_len are dropped."""
     # byte lengths (octet_length), matching the byte-offset span coordinates
     # and byte coverage from the suffix-array kernel — char lengths would
     # overstate coverage fractions on multi-byte text
-    ta = base.select(F.col("id").alias("id_a"), F.col("text").alias("_text_a"),
-                     F.octet_length("text").cast("long").alias("len_a"))
-    tb = base.select(F.col("id").alias("id_b"), F.col("text").alias("_text_b"),
-                     F.octet_length("text").cast("long").alias("len_b"))
+    ta = texts.select(F.col("id").alias("id_a"), F.col("text").alias("_text_a"),
+                      F.octet_length("text").cast("long").alias("len_a"))
+    tb = texts.select(F.col("id").alias("id_b"), F.col("text").alias("_text_b"),
+                      F.octet_length("text").cast("long").alias("len_b"))
     joined = pairs.join(ta, "id_a").join(tb, "id_b")
     st = _span_udf(min_len, max_spans_per_pair)(F.col("_text_a"), F.col("_text_b")).alias("_st")
-    out = (
+    return (
         joined.select("id_a", "id_b", "len_a", "len_b", st)
         .select(
             "id_a",
@@ -229,6 +215,39 @@ def duplicate_spans(
         )
         .where(F.col("longest") >= min_len)
     )
+
+
+def duplicate_spans(
+    docs: DataFrame,
+    min_len: int,
+    hash_type: str = "splitmix64",
+    seed: int = 0,
+    max_bucket_size: int | None = 200,
+    max_spans_per_pair: int = 64,
+    id_col: str = "conv_id",
+    text_col: str = "text",
+    with_dropped: bool = False,
+    anchors: DataFrame | None = None,
+) -> DataFrame | tuple[DataFrame, DataFrame]:
+    """End-to-end suffix-array duplicate-span pass.
+
+    Output: one row per candidate doc pair with exact duplicated-byte
+    coverage on each side, the longest shared substring, the TRUE maximal
+    span count, and (capped) span coordinates.  Pairs with no span >=
+    min_len are dropped.  ``with_dropped=True`` also returns the hot-anchor
+    table excluded by the frequency cap.  ``anchors`` short-circuits the
+    anchor UDF pass with a precomputed (id, anchor) table — run_dedup passes
+    the store's materialized ``anchors`` probe stage so the winnow UDF runs
+    once per corpus, not once per consumer.
+    """
+    base = docs.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
+    if anchors is None:
+        anchors = anchor_table(base, min_len, hash_type, seed, id_col="id")
+    pairs = substring_candidate_pairs(anchors, max_bucket_size, with_dropped)
+    dropped = None
+    if with_dropped:
+        pairs, dropped = pairs
+    out = span_stats_for_pairs(pairs, base, min_len, max_spans_per_pair)
     if with_dropped:
         return out, dropped
     return out

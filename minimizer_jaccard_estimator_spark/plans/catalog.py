@@ -119,15 +119,17 @@ class StageStore:
     # stamps the store; run_dedup_delta fails loudly on mismatch.
     _MANIFEST = "_sketch_config.json"
 
-    def manifest_path(self) -> str:
-        return os.path.join(self.root, self._MANIFEST)
+    def manifest_path(self, name: str | None = None) -> str:
+        return os.path.join(self.root, name or self._MANIFEST)
 
-    def read_manifest(self, spark: SparkSession) -> dict | None:
+    def read_manifest(self, spark: SparkSession, name: str | None = None) -> dict | None:
         """The sketch-config manifest stamped at run_dedup time, or None for
-        a store that predates manifests."""
+        a store that predates manifests.  ``name`` selects a different
+        sidecar (e.g. the anchors-config manifest for the substring probe
+        table, which is min_len-dependent)."""
         if self.root is None:
             return None
-        p = self.manifest_path()
+        p = self.manifest_path(name)
         if "://" in self.root:
             jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())
@@ -151,11 +153,13 @@ class StageStore:
         with open(p) as fh:
             return json.load(fh)
 
-    def write_manifest(self, spark: SparkSession, manifest: dict) -> None:
+    def write_manifest(
+        self, spark: SparkSession, manifest: dict, name: str | None = None
+    ) -> None:
         if self.root is None:
             return
         payload = json.dumps(manifest, indent=1, sort_keys=True)
-        p = self.manifest_path()
+        p = self.manifest_path(name)
         if "://" in self.root:
             jpath = spark._jvm.org.apache.hadoop.fs.Path(p)
             fs = jpath.getFileSystem(spark._jsc.hadoopConfiguration())

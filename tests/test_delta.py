@@ -475,3 +475,123 @@ def test_delta_override_compaction_folds_into_base(spark, tmp_path):
     assert _canon(load_clusters(spark, store)) == _canon(full.clusters)
     base = spark.read.parquet(os.path.join(store.root, "clusters"))
     assert base.count() == corpus.select("conv_id").distinct().count()
+
+
+def test_delta_simhash_config_matches_full_recompute(spark, tmp_path):
+    """Round 5: the SimHash prefilter is supported incrementally — delta at
+    simhash_max_hamming=16 == full recompute at the same config (the r04
+    gate refused this config outright)."""
+    import dataclasses
+
+    cfg = dataclasses.replace(CFG, simhash_max_hamming=16)
+    corpus = synthetic_transcripts(spark, n_base=40, dup_factor=2, seed=29).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 3 != 0)
+    new = corpus.where(idx % 3 == 0)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, cfg, store=store)
+
+    delta = run_dedup_delta(spark, new, cfg, store)
+    full = run_dedup(spark, corpus, cfg)
+    assert _canon(delta.clusters) == _canon(full.clusters)
+    delta.release()
+
+
+def test_delta_substring_config_matches_full_recompute(spark, tmp_path):
+    """Round 5: the suffix-array substring pass is supported incrementally.
+    Two committed deltas (exercising the anchors probe-table backfill-on-
+    first-commit and append-on-later-commit paths) == a 3-part full
+    recompute at the same config."""
+    import dataclasses
+    import os
+
+    from pyspark.sql import Row
+
+    cfg = dataclasses.replace(CFG, substring_min_len=32)
+    corpus = synthetic_transcripts(spark, n_base=30, dup_factor=2, seed=31)
+    # plant a pair linkable ONLY through the substring pass: two docs that
+    # share one long exact block (>=80% of the shorter side's bytes) inside
+    # otherwise-disjoint word soup, with the block's shingle overlap diluted
+    # below the Jaccard threshold on the larger side.  Ids follow the
+    # synthetic c{idx:010d} shape (the residue split below casts them) and
+    # land suba in part0, subb in part2 — a cross-delta substring link.
+    block = "shared boilerplate block carried verbatim across both docs " * 4
+    # NON-repetitive pad: ~120 distinct words so subb's distinct-shingle set
+    # is large and J(suba, subb) stays far below the 0.5 threshold (a
+    # repeated pad collapses to ~60 distinct shingles and J creeps over it)
+    pad_a = " ".join(f"pad{i}x{(i * 7) % 13}q{i % 5}" for i in range(120)) + " "
+    suba, subb = "c9000000000", "c9000000002"
+    extra = [
+        Row(conv_id=suba, turn_idx=0, role="user", text=block, tool=None, ts=None),
+        Row(conv_id=subb, turn_idx=0, role="user", text=pad_a + block,
+            tool=None, ts=None),
+    ]
+    from minimizer_jaccard_estimator_spark.sources.transcripts import TRANSCRIPT_SCHEMA
+
+    full_corpus = corpus.unionByName(
+        spark.createDataFrame(extra, TRANSCRIPT_SCHEMA)
+    ).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    part0 = full_corpus.where(idx % 3 == 0)
+    part1 = full_corpus.where(idx % 3 == 1)
+    part2 = full_corpus.where(idx % 3 == 2)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, part0, cfg, store=store)
+    # the full run materialized the anchors probe stage + its config sidecar
+    assert os.path.exists(os.path.join(store.root, "anchors"))
+    assert store.read_manifest(spark, "_anchors_config.json") == {
+        "substring_min_len": 32
+    }
+
+    run_dedup_delta(spark, part1, cfg, store, commit=True)
+    second = run_dedup_delta(spark, part2, cfg, store, commit=True)
+    assert second.spans is not None
+
+    full = run_dedup(spark, full_corpus, cfg)
+    got, want = _canon(second.clusters), _canon(full.clusters)
+    assert got == want
+    # the planted substring-only pair actually co-clusters (i.e. the pass
+    # did the linking, in BOTH paths)
+    assert any({suba, subb} <= g for g in want)
+    # ... and was NOT reachable through the minhash path: the same config
+    # without the substring pass keeps them apart
+    no_sub = run_dedup(spark, full_corpus, dataclasses.replace(cfg, substring_min_len=None))
+    assert not any({suba, subb} <= g for g in _canon(no_sub.clusters))
+
+    # committed deltas appended the new docs' anchor rows to the probe table
+    n_anchor_docs = store.load(spark, "anchors").select("conv_id").distinct().count()
+    assert n_anchor_docs == full_corpus.select("conv_id").distinct().count()
+
+
+def test_delta_rejects_mismatched_substring_min_len(spark, tmp_path):
+    """The anchors probe table is only valid at the min_len that built it:
+    a delta at a different substring_min_len must fail loudly before
+    probing (manifest sidecar check)."""
+    import dataclasses
+
+    import pytest
+
+    cfg = dataclasses.replace(CFG, substring_min_len=32)
+    old = synthetic_transcripts(spark, n_base=10, dup_factor=0, seed=3)
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, cfg, store=store)
+
+    new = synthetic_transcripts(spark, n_base=4, dup_factor=0, seed=4) \
+        .withColumn("conv_id", F.concat(F.lit("x"), F.col("conv_id")))
+    bad = dataclasses.replace(CFG, substring_min_len=48)
+    with pytest.raises(ValueError, match="anchors-config mismatch"):
+        run_dedup_delta(spark, new, bad, store)
+    # the matching config still runs
+    run_dedup_delta(spark, new, cfg, store).release()
+    # run_dedup resume with a half-built store is refused at the wrong
+    # min_len too (same sidecar): wipe spans so resume re-enters the branch
+    import shutil
+
+    shutil.rmtree(store.path("spans"), ignore_errors=True)
+    shutil.rmtree(store.path("clusters"), ignore_errors=True)
+    with pytest.raises(ValueError, match="anchors-config mismatch"):
+        run_dedup(spark, old, bad, store=store)
+    # ... and resumes cleanly at the stamped min_len
+    run_dedup(spark, old, cfg, store=store)
