@@ -699,6 +699,67 @@ def q_sliding_best_window(spark, sf):
     )
 
 
+def q_pairwise_report_invariant(spark, sf):
+    """Invariant-oracle companion to pairwise_report (VERDICT r04 #6): every
+    25th document is paired with a byte-identical copy of itself through the
+    FULL operator (replicate-averaged minimizer estimate included).
+    Identical texts make the exact intersection and union both equal the
+    distinct 8-gram count (SQL-countable under the fingerprint-injectivity +
+    ASCII assumptions pairwise_report_exact already relies on), and every
+    replicate's minimizer sets are identical, so J = Jhat = 1 exactly."""
+    d = _t(spark, sf, "documents").where(
+        (F.col("doc_id") % 25 == 0) & (F.length("text") >= 8)
+    )
+    pairs = d.select(
+        F.col("doc_id").cast("string").alias("name_a"),
+        F.col("text").alias("text_a"),
+        (F.col("doc_id") + 1000000).cast("string").alias("name_b"),
+        F.col("text").alias("text_b"),
+    )
+    rep = pairwise_report(pairs, _SKETCH)
+    return rep.select(
+        F.col("name_a").cast("long").alias("id_a"),
+        F.col("i_exact").alias("i_grams"),
+        F.col("u_exact").alias("u_grams"),
+        F.round("j_exact", 6).alias("j_exact"),
+        F.round("j_mini_avg", 6).alias("j_mini_avg"),
+    ).orderBy("id_a")
+
+
+def q_sliding_best_window_invariant(spark, sf):
+    """Invariant-oracle companion to sliding_best_window (VERDICT r04 #6):
+    every 100th document gets the query text (doc 0's first 120 chars)
+    planted VERBATIM between two pads cut from its own text; the window
+    exactly covering the plant has an identical character sequence, hence
+    identical k-gram and (local-mode) minimizer sets — best J = best Jhat =
+    1.0, the first perfect window sits at the plant offset (SQL: strpos),
+    and the window count is length(seq) - |q| + 1."""
+    docs = _t(spark, sf, "documents")
+    q_text = docs.where(F.col("doc_id") == 0).head()["text"][:120]
+    planted = (
+        docs.where((F.col("doc_id") % 100 == 0) & (F.length("text") >= 180))
+        .select(
+            F.col("doc_id").cast("string").alias("name"),
+            F.concat(F.substring("text", 1, 40), F.lit(q_text),
+                     F.substring("text", 41, 20)).alias("seq"),
+        )
+    )
+    details = sliding_jaccard(planted, "q0", q_text, _SKETCH,
+                              minimizer_mode="local")
+    # I == U makes j_kmer exactly 1.0 in IEEE terms — float equality is safe
+    exact_pos = F.min(F.when(F.col("j_kmer") == 1.0, F.col("ref_start")))
+    return (
+        details.groupBy(F.col("ref_name").cast("long").alias("doc_id"))
+        .agg(
+            F.count("*").alias("n_windows"),
+            F.round(F.max("j_kmer"), 6).alias("best_j_kmer"),
+            F.round(F.max("j_mini"), 6).alias("best_j_mini"),
+            exact_pos.cast("long").alias("first_exact_pos"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def q_ann_ivf_topk(spark, sf):
     """IVF ANN at full probe == exact brute force (same DuckDB oracle as
     ann_cosine_topk); partial-probe recall is covered by tests/test_ann.py."""
@@ -876,6 +937,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lsh_candidates_invariant": q_lsh_candidates_invariant,
         "verified_pairs_invariant": q_verified_pairs_invariant,
         "substring_spans_invariant": q_substring_spans_invariant,
+        "pairwise_report_invariant": q_pairwise_report_invariant,
+        "sliding_best_window_invariant": q_sliding_best_window_invariant,
         # kernel-backed (rows-only checks)
         "minimizer_sketch_full": q_minimizer_sketch_full,
         "minhash_lsh_candidates": q_minhash_lsh_candidates,
@@ -1233,6 +1296,35 @@ def oracle_sql() -> dict[str, str]:
             FROM documents
             WHERE doc_id % 50 = 0 AND octet_length(encode(text)) >= 64
             ORDER BY id_a
+        """,
+        "pairwise_report_invariant": """
+            WITH s AS (
+              SELECT doc_id,
+                     list_distinct([substring(text, i, 8) for i in generate_series(1, length(text) - 7)]) AS gs
+              FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 8
+            )
+            SELECT doc_id AS id_a,
+                   len(gs) AS i_grams, len(gs) AS u_grams,
+                   CAST(1.0 AS DOUBLE) AS j_exact,
+                   CAST(1.0 AS DOUBLE) AS j_mini_avg
+            FROM s ORDER BY id_a
+        """,
+        "sliding_best_window_invariant": """
+            WITH q AS (
+              SELECT substring(text, 1, 120) AS qt FROM documents WHERE doc_id = 0
+            ),
+            d AS (
+              SELECT doc_id,
+                     substring(text, 1, 40) || (SELECT qt FROM q)
+                       || substring(text, 41, 20) AS seq
+              FROM documents WHERE doc_id % 100 = 0 AND length(text) >= 180
+            )
+            SELECT doc_id,
+                   CAST(length(seq) - length((SELECT qt FROM q)) + 1 AS BIGINT) AS n_windows,
+                   CAST(1.0 AS DOUBLE) AS best_j_kmer,
+                   CAST(1.0 AS DOUBLE) AS best_j_mini,
+                   CAST(strpos(seq, (SELECT qt FROM q)) - 1 AS BIGINT) AS first_exact_pos
+            FROM d ORDER BY doc_id
         """,
         "media_digest": """
             SELECT 'm' || CAST(doc_id AS VARCHAR) AS media_id,

@@ -9,7 +9,7 @@ k/w/hash/seed/prng config (golden-parity tested in tests/).
   spark-submit --py-files dist/minimizer_jaccard_estimator_spark.zip \
     scripts/run_pairwise_job.py seqs.fa[.gz] \
       [--pairs other.fa]        # zip two files positionally (reference 2-file mode)
-      [--k 16] [--window 100] [--hash minimap2.0] \
+      [--k 16] [--window 100] [--hash minimap2.0] [--canonical] \
       [--replicates 50] [--prng 20210908A] \
       [--inhibit-correction] [--report-replicates] [--report-configs] \
       [--check-duplicates] [--correction-version v0.6|v0.4] [--debug-0.3.0] \
@@ -47,6 +47,11 @@ def main() -> None:
     ap.add_argument("--k", default="16")
     ap.add_argument("--window", "-w", default="100")
     ap.add_argument("--hash", dest="hash_spec", default="minimap2.0")
+    # reference jaccard_correction_test.py --canonical/--canonicalize/--canon:
+    # treat reverse-complemented kmers as equivalent (min of the two 2-bit
+    # packings); accepted under all three reference spellings
+    ap.add_argument("--canonical", "--canonicalize", "--canon",
+                    dest="canonical", action="store_true")
     ap.add_argument("--replicates", default="1")
     ap.add_argument("--prng", default="20210908A")
     ap.add_argument("--inhibit-correction", action="store_true")
@@ -91,6 +96,7 @@ def main() -> None:
     cfg = SketchConfig(
         k=int_with_unit(args.k), w=int_with_unit(args.window),
         hash_type=hash_type, hash_seed=seed, mode="dna",
+        canonical=args.canonical,
         num_perm=int_with_unit(args.replicates), prng_seed=args.prng,
         lsh_bands=1,
     )

@@ -7,9 +7,10 @@ window (parity tested against the reference CLI in tests/test_sliding.py).
 
   spark-submit --py-files dist/minimizer_jaccard_estimator_spark.zip \
     scripts/run_sliding_job.py query.fa refs.fa[.gz] \
-      [--k 16] [--window 100] [--hash minimap2.0] \
+      [--k 16] [--window 100] [--hash minimap2.0] [--canonical] \
       [--minimizers local|global] [--maxlength N] [--head N] \
-      [--distribution j_kmer|j_mini] [--out out_dir] [--format tsv|parquet]
+      [--distribution j_kmer|j_mini] [--inhibit-details] \
+      [--out out_dir] [--format tsv|parquet]
 
 --distribution replaces the per-window report with the reference's bucketed
 histogram of the chosen column (Δ=0.01 bucket rule).
@@ -35,10 +36,18 @@ def main() -> None:
     ap.add_argument("--k", default="16")
     ap.add_argument("--window", "-w", default="100")
     ap.add_argument("--hash", dest="hash_spec", default="minimap2.0")
+    # reference sliding_jaccard.py --canonical/--canonicalize/--canon
+    ap.add_argument("--canonical", "--canonicalize", "--canon",
+                    dest="canonical", action="store_true")
     ap.add_argument("--minimizers", default="local", choices=["local", "global"])
     ap.add_argument("--maxlength", default=None)
     ap.add_argument("--head", default=None)
     ap.add_argument("--distribution", default=None, choices=[None, "j_kmer", "j_mini"])
+    # reference --inhibit:details: suppress the per-window J(Q,R)/J(Q,R;w)
+    # table, leaving only the --distribution report (the reference then
+    # prints nothing to stdout; we do the same when no distribution is asked)
+    ap.add_argument("--inhibit-details", "--inhibit:details",
+                    dest="inhibit_details", action="store_true")
     ap.add_argument("--out", default=None)
     ap.add_argument("--format", default="tsv", choices=["tsv", "parquet"])
     args = ap.parse_args()
@@ -57,6 +66,7 @@ def main() -> None:
     cfg = SketchConfig(
         k=int_with_unit(args.k), w=int_with_unit(args.window),
         hash_type=hash_type, hash_seed=seed, mode="dna",
+        canonical=args.canonical,
         num_perm=1, lsh_bands=1,
     )
 
@@ -71,11 +81,17 @@ def main() -> None:
         minimizer_mode=args.minimizers,
         max_length=int_with_unit(args.maxlength) if args.maxlength else None,
     )
-    report = (
-        jaccard_distribution(details, args.distribution)
-        if args.distribution
-        else details
-    )
+    if args.distribution:
+        report = jaccard_distribution(details, args.distribution)
+    elif args.inhibit_details:
+        # reference parity: --inhibit:details with no distribution request
+        # reports nothing (the flag exists to silence the big per-window
+        # table when only distribution files are wanted)
+        print("nothing to report: --inhibit-details without --distribution",
+              file=sys.stderr)
+        return
+    else:
+        report = details
 
     write_report(report, args.out, args.format)
 
