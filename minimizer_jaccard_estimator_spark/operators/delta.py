@@ -55,15 +55,20 @@ from .substring import anchor_table, span_stats_for_pairs, substring_dup_pairs
 from .verify import attach_pair_columns, verify_pairs, verify_pairs_staged
 
 # candidate-id pushdown cap: at or below this many distinct candidate ids the
-# verify prune is an `isin` filter (pushable into the parquet scan of the
-# corpus sketches table → row-group skipping); above it, a left-semi join
-# (still prunes before the wide-array joins, without a driver-side id list).
-# Kept SMALL (ADVICE r04): the In list is baked into every downstream plan
-# string (including the materialized delta_verified write), bloating driver
-# plan processing, and parquet degrades large In lists to a min/max range
-# filter anyway — so past a few hundred ids the literal list buys nothing the
-# left-semi join (which prunes before the wide-array joins) doesn't.
-_ID_PUSHDOWN_CAP = 256
+# verify prune is an `isin` filter (post-scan InSet prune on the corpus
+# sketches scan); above it, a left-semi join (still prunes before the
+# wide-array joins, without a driver-side id list).
+#
+# ADVICE r04 suggested shrinking this to a few hundred (plan-string bloat;
+# parquet degrades large In lists to a min/max range filter).  MEASURED and
+# REVERTED in round 5: at 256 the typical delta (~1-3k candidate ids) falls
+# onto the semi-join path and the no-commit delta wall regresses 2.7x
+# (23-32 s vs 8.4-9.5 s at the DELTA_BENCH config, A/B'd same-session) —
+# the value of the literal list is the cheap post-scan InSet prune applied
+# on EVERY re-scan of the wide sketches table inside the staged-verify DAG,
+# which the semi-join (a join subtree re-evaluated per consumer) does not
+# give.  Plan-string bloat at <=10k ids is real but benign next to that.
+_ID_PUSHDOWN_CAP = 10_000
 
 
 @dataclass

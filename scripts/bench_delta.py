@@ -86,11 +86,34 @@ def main() -> None:
                 d.clusters.agg(F.count("*")).collect()  # force the full DAG
                 walls.append(time.monotonic() - t0)
                 d.release()
+
+            # commit=True walls (VERDICT r04 #2 evidence): since round 5 a
+            # committed delta appends O(delta) clusters_overrides rows
+            # instead of rewriting the O(corpus) assignment — the commit
+            # wall must therefore be corpus-size-independent too.  Each rep
+            # commits into a fresh COPY of the store (a commit mutates it);
+            # the copy cost is excluded from the timed window.
+            commit_walls = []
+            for i in range(repeats):
+                croot = f"{root}_commit{i}"
+                shutil.copytree(root, croot)
+                try:
+                    cstore = StageStore(root=croot)
+                    t0 = time.monotonic()
+                    d = run_dedup_delta(spark, delta, cfg, cstore, commit=True)
+                    d.clusters.agg(F.count("*")).collect()
+                    commit_walls.append(time.monotonic() - t0)
+                    d.release()
+                finally:
+                    shutil.rmtree(croot, ignore_errors=True)
+
             corpora[tag] = {
                 "n_base": n_base, "n_convs": n_convs,
                 "corpus_build_sec": round(build_sec, 3),
                 "delta_walls_sec": [round(w, 3) for w in walls],
                 "delta_wall_min_sec": round(min(walls), 3),
+                "commit_walls_sec": [round(w, 3) for w in commit_walls],
+                "commit_wall_min_sec": round(min(commit_walls), 3),
             }
     finally:
         for root in roots:
@@ -101,6 +124,9 @@ def main() -> None:
     out["wall_ratio"] = round(
         corpora["large"]["delta_wall_min_sec"]
         / corpora["small"]["delta_wall_min_sec"], 3)
+    out["commit_wall_ratio"] = round(
+        corpora["large"]["commit_wall_min_sec"]
+        / corpora["small"]["commit_wall_min_sec"], 3)
     print(json.dumps(out))
     out_name = os.environ.get("DELTA_BENCH_OUT", "DELTA_BENCH.json")
     with open(os.path.join(REPO, out_name), "w") as fh:

@@ -595,3 +595,31 @@ def test_delta_rejects_mismatched_substring_min_len(spark, tmp_path):
         run_dedup(spark, old, bad, store=store)
     # ... and resumes cleanly at the stamped min_len
     run_dedup(spark, old, cfg, store=store)
+
+
+def test_delta_substring_probes_anchor_table_not_corpus_winnow(spark, tmp_path):
+    """The delta substring pass must read the store's incremental ``anchors``
+    probe table for the corpus side — never re-winnow the corpus text (the
+    O(delta)-vs-O(corpus-bytes) property, mirroring the bands/digests plan
+    assertions above)."""
+    import dataclasses
+    import os
+
+    cfg = dataclasses.replace(CFG, substring_min_len=32)
+    corpus = synthetic_transcripts(spark, n_base=24, dup_factor=2, seed=13).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 3 != 0)
+    new = corpus.where(idx % 3 == 0)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, cfg, store=store)
+    assert store.exists("anchors")
+
+    res = run_dedup_delta(spark, new, cfg, store)
+    assert res.spans is not None
+    jvm = spark._jvm
+    mode = jvm.org.apache.spark.sql.execution.ExplainMode.fromString("formatted")
+    plan = res.spans._jdf.queryExecution().explainString(mode)
+    assert os.path.join(store.root, "anchors") in plan, \
+        "delta substring pass did not probe the store's anchors table"
+    res.release()
