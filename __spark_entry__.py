@@ -706,9 +706,13 @@ def q_pairwise_report_invariant(spark, sf):
     Identical texts make the exact intersection and union both equal the
     distinct 8-gram count (SQL-countable under the fingerprint-injectivity +
     ASCII assumptions pairwise_report_exact already relies on), and every
-    replicate's minimizer sets are identical, so J = Jhat = 1 exactly."""
+    replicate's minimizer sets are identical, so J = Jhat = 1 exactly.
+    The length guard is >= 64, not >= 8: j_mini_avg = 1.0 additionally
+    needs a NON-EMPTY minimizer set (length >= k + w - 1 = 17 at this
+    config; 64 matches verified_pairs_invariant's margin), else the
+    replicate estimate is 0/0 while the SQL side hardcodes 1.0."""
     d = _t(spark, sf, "documents").where(
-        (F.col("doc_id") % 25 == 0) & (F.length("text") >= 8)
+        (F.col("doc_id") % 25 == 0) & (F.length("text") >= 64)
     )
     pairs = d.select(
         F.col("doc_id").cast("string").alias("name_a"),
@@ -1301,7 +1305,7 @@ def oracle_sql() -> dict[str, str]:
             WITH s AS (
               SELECT doc_id,
                      list_distinct([substring(text, i, 8) for i in generate_series(1, length(text) - 7)]) AS gs
-              FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 8
+              FROM documents WHERE doc_id % 25 = 0 AND length(text) >= 64
             )
             SELECT doc_id AS id_a,
                    len(gs) AS i_grams, len(gs) AS u_grams,

@@ -483,21 +483,39 @@ def _minhash_splitmix_blocked(
         for lo in range(0, fp.shape[0], block):
             blk = fp[lo:lo + block].reshape(1, -1)
             n = blk.shape[1]
-            uu, tt, cc = u[:, :n], t[:, :n], c[:, :n]
-            np.add(blk, seed_u, out=uu)
-            np.less(uu, blk, out=cc)  # carry past 2**64 (see splitmix64_hash)
-            np.right_shift(uu, U64(30), out=tt)
-            tt |= cc.astype(np.uint64) << U64(34)
-            uu ^= tt
-            uu *= U64(0xBF58476D1CE4E5B9)
-            np.right_shift(uu, U64(27), out=tt)
-            uu ^= tt
-            uu += seed_shift
-            uu *= U64(0x94D049BB133111EB)
-            np.right_shift(uu, U64(31), out=tt)
-            uu ^= tt
+            uu = splitmix_seeded_block(blk, seed_u, seed_shift,
+                                       u[:, :n], t[:, :n], c[:, :n])
             np.minimum(out, uu.min(axis=1), out=out)
     return out
+
+
+def splitmix_seeded_block(
+    blk: np.ndarray, seed_u: np.ndarray, seed_shift: np.ndarray,
+    uu: np.ndarray, tt: np.ndarray, cc: np.ndarray,
+) -> np.ndarray:
+    """One (S, n) block of the seeded splitmix64 family, computed in-place
+    into ``uu`` with ``tt``/``cc`` as scratch — the SINGLE home of the
+    12-step hash body including the >2**64 carry quirk (see
+    :func:`splitmix64_hash`).  Both the per-document blocked MinHash above
+    and :mod:`.kernels_batch`'s whole-batch kernel call this, so the two
+    paths cannot silently diverge bit-for-bit.  Caller wraps in
+    ``np.errstate(over="ignore")``.
+
+    ``seed_u`` is ``(seeds ^ 0x3243F6A8885A308D).reshape(-1, 1)``;
+    ``seed_shift`` is ``seed_u >> 5``."""
+    np.add(blk, seed_u, out=uu)
+    np.less(uu, blk, out=cc)  # carry past 2**64 (see splitmix64_hash)
+    np.right_shift(uu, U64(30), out=tt)
+    tt |= cc.astype(np.uint64) << U64(34)
+    uu ^= tt
+    uu *= U64(0xBF58476D1CE4E5B9)
+    np.right_shift(uu, U64(27), out=tt)
+    uu ^= tt
+    uu += seed_shift
+    uu *= U64(0x94D049BB133111EB)
+    np.right_shift(uu, U64(31), out=tt)
+    uu ^= tt
+    return uu
 
 
 def oph_signature(

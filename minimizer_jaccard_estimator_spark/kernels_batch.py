@@ -242,21 +242,12 @@ def batch_seeded_minhash(
         if splitmix:
             blk = ufp[lo:hi].reshape(1, -1)
             n = blk.shape[1]
-            uu, tt, cc = u[:, :n], t[:, :n], c[:, :n]
             with np.errstate(over="ignore"):
-                np.add(blk, seed_u, out=uu)
-                np.less(uu, blk, out=cc)  # carry past 2**64 (splitmix64_hash)
-                np.right_shift(uu, U64(30), out=tt)
-                tt |= cc.astype(np.uint64) << U64(34)
-                uu ^= tt
-                uu *= U64(0xBF58476D1CE4E5B9)
-                np.right_shift(uu, U64(27), out=tt)
-                uu ^= tt
-                uu += seed_shift
-                uu *= U64(0x94D049BB133111EB)
-                np.right_shift(uu, U64(31), out=tt)
-                uu ^= tt
-            m = uu
+                # shared 12-step body (incl. the >2**64 carry quirk) —
+                # kernels.splitmix_seeded_block is the single home, so the
+                # batch and per-document paths stay bit-identical
+                m = K.splitmix_seeded_block(blk, seed_u, seed_shift,
+                                            u[:, :n], t[:, :n], c[:, :n])
         else:
             m = K.apply_hash_matrix(hash_type, seeds, ufp[lo:hi], 32)
         sg = useg[lo:hi]

@@ -47,7 +47,15 @@ class DedupConfig:
     # hot-anchor frequency cap for the substring pass (the LSH bucket cap's
     # twin — boilerplate anchors shared by > this many docs are excluded,
     # recorded, never silently dropped; None disables the cap).  The delta
-    # path reuses THIS value so delta == full-recompute holds per config
+    # path reuses THIS value and sees exact GLOBAL anchor counts, but the
+    # cap is evaluated at ingest time: an anchor whose corpus-wide count
+    # only crosses the cap at a LATER delta keeps the span links earlier
+    # batches already committed (a full recompute over the final corpus
+    # would drop the anchor entirely), so delta == full-recompute is exact
+    # only for anchors that never cross the cap mid-stream.  The crossing
+    # is never silent — such anchors appear in that delta's dropped-anchor
+    # lineage table (delta_substring_dropped_anchors).  Uncapped (None)
+    # configs are exactly equivalent.
     substring_max_anchor_docs: int | None = 200
     # round-robin rebalance of assembled conversations before the sketch UDF:
     # the assembly shuffle is keyed by conv_id, so hot conversations (8x-size

@@ -45,6 +45,7 @@ from ..plans.catalog import StageStore
 from ..sources.transcripts import assemble_conversations
 from .connected_components import connected_components
 from .dedup import (
+    _ANCHORS_MANIFEST,
     DedupConfig,
     check_anchors_manifest,
     check_store_manifest,
@@ -164,6 +165,21 @@ def run_dedup_delta(
         )
     check_store_manifest(spark, store, cfg.sketch,
                          stamp=commit and adopt_legacy_config)
+    # the anchors probe table's contract is COMPLETENESS: every committed
+    # doc's anchors are in it.  A committed delta configured WITHOUT the
+    # substring pass would append conv_text/sketches rows but no anchor
+    # rows, silently poisoning every future substring delta (which would
+    # probe the table as the full corpus anchor set) — fail loudly instead.
+    # Read-only what-ifs at a substring-less config stay allowed.
+    if commit and cfg.substring_min_len is None and store.exists("anchors", spark):
+        raise ValueError(
+            "store maintains a substring anchors probe table but this config "
+            "has substring_min_len=None: a committed delta would leave its "
+            "docs out of the table and silently break every future "
+            "substring delta.  Use the store's substring config (see its "
+            "_anchors_config.json sidecar) or rebuild the store without the "
+            "substring pass"
+        )
     old_conv = store.load(spark, "conv_text")
     old_sk = store.load(spark, "sketches")
     # merged view: the base assignment overlaid with earlier deltas'
@@ -397,14 +413,43 @@ def run_dedup_delta(
                 cfg.sketch.hash_type, cfg.sketch.hash_seed,
             ).select("id", "anchor").distinct()
             if commit:
-                # first committed delta backfills the probe table and stamps
-                # its config sidecar (adopt_legacy_config gated upstream)
+                # A store WITH completed stages but WITHOUT an anchors table
+                # either predates the anchors stage (its base run computed
+                # the full substring pass, so backfill is exact) or was
+                # built WITHOUT the substring pass (its clusters lack
+                # old-vs-old span links, so no incremental delta can equal a
+                # full recompute at this config).  The two are
+                # indistinguishable from the store alone — require the
+                # caller to assert config parity, the same conservative rule
+                # as the pre-manifest sketch-config gate above.  A store
+                # already carrying a MATCHING anchors sidecar (a crashed
+                # backfill stamps the sidecar first) needs no assertion:
+                # the sidecar is the recorded config.
+                if not adopt_legacy_config and \
+                        store.read_manifest(spark, _ANCHORS_MANIFEST) is None:
+                    raise ValueError(
+                        "store has no substring anchors probe table: it "
+                        "either predates the anchors stage or was built "
+                        "WITHOUT the substring pass (in which case its "
+                        "clusters lack old-vs-old span links and a delta "
+                        "can never equal a full recompute at this config). "
+                        "Pass adopt_legacy_config=True to assert the "
+                        "store's base run used substring_min_len="
+                        f"{cfg.substring_min_len} and backfill the probe "
+                        "table, or rebuild the store with run_dedup"
+                    )
+                # first committed delta backfills the probe table; the
+                # config sidecar is stamped BEFORE the table materializes —
+                # a crash between the two must leave the fail-loud manifest
+                # check armed, not an unstamped table a later
+                # different-min_len delta would probe silently (run_dedup
+                # orders the same way)
+                check_anchors_manifest(spark, store, cfg.substring_min_len,
+                                       stamp=True)
                 old_anchors = store.materialize(
                     spark, "anchors",
                     old_anchors.select(F.col("id").alias("conv_id"), "anchor"),
                 ).select(F.col("conv_id").alias("id"), "anchor")
-                check_anchors_manifest(spark, store, cfg.substring_min_len,
-                                       stamp=True)
         touched_anchors = new_anchors.select("anchor").distinct()
         per_doc = old_anchors.unionByName(new_anchors).join(
             touched_anchors, "anchor", "leftsemi"

@@ -224,6 +224,11 @@ class StageStore:
         else:
             skipped = True
         out = self.load(spark, stage)
+        # re-materializing a stage (e.g. two deltas against one store, each
+        # overwriting 'delta_candidates') supersedes the earlier pending
+        # entry: its table contents are gone, and keeping both would count
+        # the current table's partitions into BOTH entries at resolve time
+        self._pending = [p for p in self._pending if p["stage"] != stage]
         self._pending.append(
             {
                 "stage": stage,
@@ -239,7 +244,12 @@ class StageStore:
         """Run the deferred per-partition lineage counts for every stage
         materialized since the last resolve — one unioned Spark job for the
         whole run instead of one job per stage (north_rule: per-partition
-        lineage stays; its scheduling cost stops scaling with stage count)."""
+        lineage stays; its scheduling cost stops scaling with stage count).
+
+        Counts reflect each table's contents AT RESOLVE TIME: a stage that
+        was appended to after its materialize (delta probe-table appends)
+        reports the post-append partitioning, which is the state the next
+        run will actually scan."""
         if self.root is None or not self._pending:
             return
         union = None

@@ -623,3 +623,120 @@ def test_delta_substring_probes_anchor_table_not_corpus_winnow(spark, tmp_path):
     assert os.path.join(store.root, "anchors") in plan, \
         "delta substring pass did not probe the store's anchors table"
     res.release()
+
+
+def test_committed_substringless_delta_refuses_anchors_store(spark, tmp_path):
+    """An anchors-bearing store's probe-table contract is completeness: a
+    COMMITTED delta configured without the substring pass would append
+    conv_text/sketch rows but no anchor rows, silently poisoning every
+    future substring delta — it must fail loudly.  Read-only what-ifs at
+    the substring-less config stay allowed."""
+    import dataclasses
+
+    import pytest
+
+    cfg = dataclasses.replace(CFG, substring_min_len=32)
+    corpus = synthetic_transcripts(spark, n_base=18, dup_factor=2, seed=11).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 3 != 0)
+    new = corpus.where(idx % 3 == 0)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, cfg, store=store)
+    assert store.exists("anchors")
+
+    nosub = dataclasses.replace(CFG, substring_min_len=None)
+    with pytest.raises(ValueError, match="substring_min_len=None"):
+        run_dedup_delta(spark, new, nosub, store, commit=True)
+    res = run_dedup_delta(spark, new, nosub, store)  # what-if: allowed
+    assert res.clusters.count() > 0
+    res.release()
+
+
+def test_committed_substring_delta_on_anchorless_store_requires_adoption(
+        spark, tmp_path):
+    """A store with completed stages but no anchors table either predates
+    the anchors stage or was built WITHOUT the substring pass (its clusters
+    lack old-vs-old span links) — indistinguishable from the store alone,
+    so a committed substring delta must demand the caller's explicit
+    config-parity assertion before backfilling."""
+    import dataclasses
+
+    import pytest
+
+    corpus = synthetic_transcripts(spark, n_base=18, dup_factor=2, seed=12).cache()
+    idx = F.substring("conv_id", 2, 10).cast("long")
+    old = corpus.where(idx % 3 != 0)
+    new = corpus.where(idx % 3 == 0)
+
+    store = StageStore(root=str(tmp_path / "prior"))
+    run_dedup(spark, old, CFG, store=store)  # no substring pass, no anchors
+    assert not store.exists("anchors")
+
+    sub = dataclasses.replace(CFG, substring_min_len=32)
+    with pytest.raises(ValueError, match="no substring anchors probe table"):
+        run_dedup_delta(spark, new, sub, store, commit=True)
+    # the explicit assertion unlocks the backfill, which stamps the config
+    # sidecar BEFORE materializing the table (crash between the two leaves
+    # the fail-loud manifest check armed)
+    res = run_dedup_delta(spark, new, sub, store, commit=True,
+                          adopt_legacy_config=True)
+    assert store.exists("anchors")
+    assert store.read_manifest(spark, "_anchors_config.json") == {
+        "substring_min_len": 32
+    }
+    res.release()
+
+
+def test_substring_cap_crossing_is_conservative_and_recorded(spark, tmp_path):
+    """Pin the documented cap-crossing semantics (DedupConfig
+    substring_max_anchor_docs): an anchor whose GLOBAL doc count crosses the
+    cap only at a later delta (a) keeps the span links earlier batches
+    committed, (b) contributes NO new links from that delta, and (c) shows
+    up in the delta's dropped-anchor lineage — while a full recompute over
+    the final corpus drops the anchor entirely.  delta == full-recompute is
+    exact only for anchors that never cross the cap mid-stream; the
+    divergence is visible, never silent."""
+    import dataclasses
+
+    from pyspark.sql import Row
+
+    block = "shared boilerplate block carried verbatim across both docs " * 4
+
+    def _doc(cid, i):
+        # substring-only-linkable family: the small doc is the bare block
+        # (span covers 100% of its bytes); big docs dilute it under both the
+        # minhash threshold and the span-coverage bar for big-big pairs
+        if i == 0:
+            return Row(conv_id=cid, turn_idx=0, role="user", text=block,
+                       tool=None, ts=None)
+        pad = " ".join(f"p{i}w{j}x{(j * 7) % 13}" for j in range(120)) + " "
+        return Row(conv_id=cid, turn_idx=0, role="user", text=pad + block,
+                   tool=None, ts=None)
+
+    base_rows = [_doc(f"c900000000{i}", i) for i in range(3)]
+    delta_rows = [_doc(f"c900000001{i}", i + 3) for i in range(2)]
+    base = spark.createDataFrame(base_rows, TRANSCRIPT_SCHEMA)
+    delta = spark.createDataFrame(delta_rows, TRANSCRIPT_SCHEMA)
+
+    cfg = dataclasses.replace(CFG, substring_min_len=32,
+                              substring_max_anchor_docs=3)
+    store = StageStore(root=str(tmp_path / "prior"))
+    prior = run_dedup(spark, base, cfg, store=store)
+    # under the cap at base time: the small doc links to both big docs
+    assert any(len(g) == 3 for g in _canon(prior.clusters))
+
+    res = run_dedup_delta(spark, delta, cfg, store, commit=True)
+    got = _canon(res.clusters)
+    # (a) earlier links persist, (b) the delta docs gain none
+    assert any(len(g) == 3 for g in got)
+    assert {frozenset({f"c900000001{i}"}) for i in range(2)} <= got
+    # (c) the crossing anchors are in the lineage table with global counts
+    dropped = {r["n_docs"] for r in res.dropped_anchors.collect()}
+    assert dropped and max(dropped) == 5
+    res.release()
+
+    # the full recompute at the final corpus drops the anchor entirely —
+    # the documented (visible) divergence from the delta-evolved store
+    full = run_dedup(spark, base.unionByName(delta), cfg)
+    assert all(len(g) == 1 for g in _canon(full.clusters))
