@@ -463,3 +463,25 @@ def test_batch_simhash_large_segment_chunking():
             expect |= 1 << int(b)
         expect_i64 = expect - (1 << 64) if expect >= (1 << 63) else expect
         assert int(got[d]) == expect_i64, d
+
+
+def test_batch_full_sketch_chunking_is_invisible():
+    """The cache-residency document chunking (kernels_batch._CHUNK_TEXT_BYTES)
+    must not change ANY per-document output: force many tiny chunks (some
+    holding a single oversized doc, boundaries falling mid-corpus) and
+    compare bit-for-bit against one chunk holding the whole batch."""
+    from minimizer_jaccard_estimator_spark import kernels_batch as KB
+
+    rng = random.Random(0xC1)
+    docs = _batch_corpus(rng, 80)
+    args = (12, 20, "splitmix64", 7, "oph", 32, None, 0x5117B6A5,
+            "splitmix64", True)
+    one = KB.batch_full_sketch_text(docs, *args, chunk_bytes=1 << 30)
+    many = KB.batch_full_sketch_text(docs, *args, chunk_bytes=64)
+    assert len(one["minimizers"]) == len(many["minimizers"]) == len(docs)
+    for i in range(len(docs)):
+        assert np.array_equal(one["minimizers"][i], many["minimizers"][i]), i
+        assert np.array_equal(one["positions"][i], many["positions"][i]), i
+        assert np.array_equal(one["minhash"][i], many["minhash"][i]), i
+    for key in ("n_shingles", "n_dups", "simhash"):
+        assert np.array_equal(one[key], many[key]), key
