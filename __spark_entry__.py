@@ -143,19 +143,52 @@ def q_j3_word_jaccard(spark, sf):
 
 def q_ngram_jaccard(spark, sf):
     """Character 8-gram Jaccard between consecutive documents (n-gram
-    near-dup scoring, SQL-expressible shingle path of H1+J3)."""
+    near-dup scoring, SQL-expressible shingle path of H1+J3).
+
+    r06 plan: the original a⋈b self-join computed the gram arrays TWICE
+    (once per branch) and the planner broadcast the whole right-hand gram
+    table (50k × ~292 8-char strings at sf1.0 — a driver-side build of
+    hundreds of MB).  This form computes grams ONCE, ships each doc's gram
+    set to its two pair keys (doc_id as the A side, doc_id-1 as the B side)
+    and reassembles pairs with one hash aggregation — one scan, one
+    shuffle, no driver-side broadcast build; doc_id is unique so
+    first(ignorenulls) per side is deterministic and the inner-join
+    semantics (both sides present) are reproduced by the two IS NOT NULL
+    filters.  Result rows are bit-identical to the join form (equality
+    A/B-checked at sf0.1/sf1.0, and the DuckDB oracle is unchanged)."""
     d = _t(spark, sf, "documents").where(F.length("text") >= 8)
     grams = F.array_distinct(
         F.expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")
     )
-    a = d.select(F.col("doc_id").alias("id_a"), grams.alias("ga"))
-    b = d.select((F.col("doc_id") - 1).alias("id_a"), grams.alias("gb"))
-    j = a.join(b, "id_a")
-    i = F.size(F.array_intersect("ga", "gb")).cast("long")
-    u = (F.size("ga") + F.size("gb")).cast("long") - i
-    return j.select(
-        "id_a", i.alias("i_grams"), u.alias("u_grams"),
-        F.round(i / u, 6).alias("jaccard"),
+    g = d.select("doc_id", grams.alias("gs"))
+    sides = g.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("doc_id").alias("id_a"), F.lit(0).alias("side")),
+                F.struct((F.col("doc_id") - 1).alias("id_a"), F.lit(1).alias("side")),
+            )
+        ).alias("k"),
+        "gs",
+    )
+    paired = (
+        sides.groupBy(F.col("k.id_a").alias("id_a"))
+        .agg(
+            F.first(F.when(F.col("k.side") == 0, F.col("gs")), ignorenulls=True).alias("ga"),
+            F.first(F.when(F.col("k.side") == 1, F.col("gs")), ignorenulls=True).alias("gb"),
+        )
+        .where(F.col("ga").isNotNull() & F.col("gb").isNotNull())
+    )
+    # project the intersection size once (the join form re-evaluated
+    # array_intersect three times in the output projection)
+    sized = paired.select(
+        "id_a",
+        F.size(F.array_intersect("ga", "gb")).cast("long").alias("i_grams"),
+        (F.size("ga") + F.size("gb")).cast("long").alias("_s"),
+    )
+    u = F.col("_s") - F.col("i_grams")
+    return sized.select(
+        "id_a", "i_grams", u.alias("u_grams"),
+        F.round(F.col("i_grams") / u, 6).alias("jaccard"),
     ).orderBy("id_a")
 
 

@@ -96,10 +96,21 @@ def connected_components(
         F.col(id_col_a).alias("src"), F.col(id_col_b).alias("dst")
     ).where(F.col("src") != F.col("dst")).distinct()
 
-    if driver_threshold and edges.count() <= driver_threshold:
-        # count + collect share the distinct's shuffle files (no
-        # localCheckpoint write needed on this path)
-        rows = [(r["src"], r["dst"]) for r in edges.collect()]
+    if driver_threshold:
+        # ONE action sizes the edge set AND fetches it: limit(threshold+1)
+        # returns <= threshold rows iff the edge count is <= threshold, in
+        # which case those rows ARE the complete edge set.  The previous
+        # count-then-collect pair re-executed the entire upstream candidate/
+        # verify chain twice — each action is a fresh AdaptiveSparkPlan
+        # query, so nothing is shared between them (measured ~2x the full
+        # dedup wall at sf1.0, r06).  Oversized graphs pay one truncated
+        # collect (<= threshold+1 narrow rows) and fall through to the
+        # distributed fixpoint, same as the old count probe did.
+        head = edges.limit(driver_threshold + 1).collect()
+    else:
+        head = None
+    if head is not None and len(head) <= driver_threshold:
+        rows = [(r["src"], r["dst"]) for r in head]
         labeled = _driver_union_find(rows)
         spark = pairs.sparkSession
         schema = edges.select(

@@ -37,12 +37,27 @@ def get_spark(
     submit_args = os.environ.get("PYSPARK_SUBMIT_ARGS", "")
     if "--master" not in submit_args and not os.environ.get("SPARK_MASTER_URL"):
         builder = builder.master(f"local[{cpus}]")
+    # join-strategy envelope (guide §3.1/§9), parameterised for scale:
+    # - prefer shuffled-hash over sort-merge: the engine's joins are narrow
+    #   equi-joins (pair tables vs per-doc sketch tables) where the sort adds
+    #   nothing; sort-merge remains the planner's fallback when the
+    #   shuffled-hash size conditions don't hold
+    # - AQE runtime broadcast threshold raised above the 10 MB static default:
+    #   the per-doc sketch/signature tables sit behind Arrow UDFs, so the
+    #   static planner cannot estimate them, but at runtime a corpus-keyed
+    #   side that materialises under this many bytes is cheaper to broadcast
+    #   than to shuffle the (quadratic-ish) pair table towards — 64 MB is
+    #   safe on any executor with >= 2 GB of memory; tune down via env on
+    #   memory-constrained clusters
+    adaptive_broadcast = os.environ.get("SPARK_GRAFT_ADAPTIVE_BROADCAST", "64m")
     builder = (
         builder.appName(app_name)
         # AQE: runtime re-plan, skew-join splitting, partition coalescing
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.join.preferSortMergeJoin", "false")
+        .config("spark.sql.adaptive.autoBroadcastJoinThreshold", adaptive_broadcast)
         .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
         # Arrow is the hot path for every sketch kernel
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
