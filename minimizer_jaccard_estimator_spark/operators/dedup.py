@@ -274,6 +274,15 @@ def run_dedup(
         candidates = store.load(spark, "candidates")
     else:
         want_dropped = store.root is not None and cfg.max_bucket_size is not None
+        if bands is None:
+            # store-less runs: the band table feeds TWO consumers (the
+            # bucket-size aggregate and the bucket join) — without a persist
+            # each one re-runs the signature transform over the full corpus
+            # (store runs already materialize `bands` on disk above)
+            bands = band_hashes(
+                sketches.select("conv_id", "minhash"), cfg.sketch
+            ).persist()
+            caches.append(bands)
         lsh = lsh_candidate_pairs(
             sketches.select("conv_id", "minhash"), cfg.sketch,
             max_bucket_size=cfg.max_bucket_size,

