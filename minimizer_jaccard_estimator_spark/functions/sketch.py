@@ -81,7 +81,7 @@ class SketchConfig:
     def fingerprints(self, text: str) -> np.ndarray:
         if self.mode == "dna":
             if self.canonical:
-                return K.canonical_kmers_2bit(text, self.k)
+                return K.canonical_kmers_2bit(text, self.k, on_invalid=self.on_invalid)
             return K.pack_kmers_2bit(text, self.k, on_invalid=self.on_invalid)
         return K.shingle_fingerprints(text, self.k)
 

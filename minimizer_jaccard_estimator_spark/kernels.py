@@ -300,14 +300,25 @@ def pack_kmers_2bit(seq: str, k: int, on_invalid: str = "raise") -> np.ndarray:
     return kb
 
 
-def canonical_kmers_2bit(seq: str, k: int) -> np.ndarray:
+def canonical_kmers_2bit(seq: str, k: int, on_invalid: str = "raise") -> np.ndarray:
     """min(kmer, revcomp kmer) packing — reference
     ``jaccard_correction_test.py:713-721``.  String ``min`` on ACGT k-mers of
     equal length coincides with numeric min of their 2-bit packings because
-    the alphabet order A<C<G<T matches the code order 0<1<2<3."""
-    fwd = pack_kmers_2bit(seq, k)
-    rev = pack_kmers_2bit(reverse_complement(seq), k)[::-1]
-    return np.minimum(fwd, rev)
+    the alphabet order A<C<G<T matches the code order 0<1<2<3.
+
+    ``on_invalid='sentinel'`` (reference ``sliding_jaccard.py:589-611``
+    canonical path, ADVICE r05): a window containing a non-ACGT character is
+    SENTINEL.  This matches the reference exactly: the complement map sends
+    every non-ACGT character to another non-ACGT character (IUPAC→IUPAC,
+    unknown→itself, lowercase→lowercase), so whichever strand wins the
+    string ``min`` still contains the bad character and the reference's
+    KeyError → hashOfBadKmer fires for precisely these windows."""
+    fwd = pack_kmers_2bit(seq, k, on_invalid=on_invalid)
+    rev = pack_kmers_2bit(reverse_complement(seq), k, on_invalid=on_invalid)[::-1]
+    out = np.minimum(fwd, rev)
+    if on_invalid == "sentinel" and out.size:
+        out[(fwd == SENTINEL) | (rev == SENTINEL)] = SENTINEL
+    return out
 
 
 def hash_dna_sequence(
@@ -323,7 +334,7 @@ def hash_dna_sequence(
     With ``on_invalid='sentinel'`` non-ACGT k-mers keep the raw sentinel and
     are NOT hashed (reference ``sliding_jaccard.py:609-611``)."""
     if canonical:
-        kb = canonical_kmers_2bit(seq, k)
+        kb = canonical_kmers_2bit(seq, k, on_invalid=on_invalid)
     else:
         kb = pack_kmers_2bit(seq, k, on_invalid=on_invalid)
     if kb.size == 0:

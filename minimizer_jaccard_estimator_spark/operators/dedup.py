@@ -29,6 +29,7 @@ from .lsh import (
     simhash_filter,
     text_digest,
 )
+from .pairing import global_row_numbers
 from .substring import anchor_table, duplicate_spans, substring_dup_pairs
 from .verify import attach_pair_columns, verify_pairs, verify_pairs_staged
 
@@ -223,6 +224,27 @@ def run_dedup(
         # full assembly shuffle — measured ~40% of e2e wall at local[32]
         conv_text = conv_text.persist()
 
+    # -- long surrogate ids (in-memory runs): rank conv_id (ascending,
+    # dense) and key every pair-table shuffle / aggregation / join on the
+    # rank LONG instead of the conv_id STRING.  The candidate distinct, the
+    # two verify attach joins and the CC edge set are all O(pairs) — string
+    # keys cost ~10x per probe/insert vs longs (measured on a 52M-pair /
+    # 50k-doc replica of the sf1.0 shape: 2 broadcast joins 7.1 s str vs
+    # 0.5 s long, guide §2.3 "narrower types").  The rank is ORDER-
+    # PRESERVING, so min-rank == min-conv_id on every path that picks a
+    # representative (exact-dup star pairs, CC cluster labels) and the
+    # remapped outputs are bit-identical to the string-keyed form.  Store
+    # runs keep string ids: their stage tables are the delta/resume
+    # contract and probe-side schemas must not change.
+    use_rid = store.root is None
+    rid = None
+    if use_rid:
+        rid = (
+            global_row_numbers(conv_text.select("conv_id"), "conv_id")
+            .select("conv_id", F.col("rn").cast("long").alias("_rid"))
+            .persist()
+        )
+
     # -- sketches + signatures (the Arrow-UDF hot path; one pass over docs)
     if store.exists("sketches"):
         sketches = store.load(spark, "sketches")
@@ -242,11 +264,21 @@ def run_dedup(
             .withColumn("digest", text_digest(F.col("text"))).drop("text")
         sketches = store.materialize(spark, "sketches", sk)
     if store.root is None:
+        if use_rid:
+            # cached sketch rows carry the surrogate so every downstream
+            # projection is join-free; one narrow probe join here
+            sketches = sketches.join(rid, "conv_id")
         sketches = sketches.persist()
     # resumed legacy stores predate the digest column; fall back to hashing
     # the corpus text as before
+    _id = "_rid" if use_rid else "conv_id"
+
+    def sk_cols(*cols):
+        """sketch projection keyed as conv_id (surrogate long in-memory)."""
+        return sketches.select(F.col(_id).alias("conv_id"), *cols)
+
     digest_src = (
-        sketches.select("conv_id", "digest") if "digest" in sketches.columns
+        sk_cols("digest") if "digest" in sketches.columns
         else conv_text.select("conv_id", text_digest(F.col("text")).alias("digest"))
     )
 
@@ -261,15 +293,19 @@ def run_dedup(
         digests = store.materialize(spark, "digests", digest_src)
         bands = store.materialize(
             spark, "bands",
-            band_hashes(sketches.select("conv_id", "minhash"), cfg.sketch),
+            band_hashes(sk_cols("minhash"), cfg.sketch),
         )
 
     # -- candidates: exact-dup fast path ∪ LSH band buckets
     # exact is needed again in the clusters stage (short-text dup bypass);
     # persist so the digest groupBy runs once, and register internal LSH
     # caches for release once the pipeline's outputs are materialized
-    exact = exact_dup_pairs(conv_text, digests=digests or digest_src).persist()
+    exact = exact_dup_pairs(
+        conv_text, digests=digests if digests is not None else digest_src
+    ).persist()
     caches: list[DataFrame] = [exact]
+    if rid is not None:
+        caches.append(rid)
     if store.exists("candidates"):
         candidates = store.load(spark, "candidates")
     else:
@@ -280,11 +316,11 @@ def run_dedup(
             # each one re-runs the signature transform over the full corpus
             # (store runs already materialize `bands` on disk above)
             bands = band_hashes(
-                sketches.select("conv_id", "minhash"), cfg.sketch
+                sk_cols("minhash"), cfg.sketch
             ).persist()
             caches.append(bands)
         lsh = lsh_candidate_pairs(
-            sketches.select("conv_id", "minhash"), cfg.sketch,
+            sk_cols("minhash"), cfg.sketch,
             max_bucket_size=cfg.max_bucket_size,
             with_dropped=want_dropped,
             cache_registry=caches,
@@ -301,7 +337,7 @@ def run_dedup(
         candidates = exact.union(lsh).distinct()
         if cfg.simhash_max_hamming is not None:
             with_sim = attach_pair_columns(
-                candidates, sketches.select("conv_id", "simhash"), ["simhash"]
+                candidates, sk_cols("simhash"), ["simhash"]
             )
             candidates = simhash_filter(with_sim, cfg.simhash_max_hamming).select("id_a", "id_b")
         candidates = store.materialize(spark, "candidates", candidates)
@@ -313,12 +349,12 @@ def run_dedup(
         if cfg.staged_verify:
             verified = verify_pairs_staged(
                 candidates,
-                sketches.select("conv_id", "minimizers", "minhash", "n_shingles"),
+                sk_cols("minimizers", "minhash", "n_shingles"),
                 cfg.jaccard_threshold,
                 cfg.staged_verify_margin,
             )
         else:
-            verified = verify_pairs(candidates, sketches.select("conv_id", "minimizers"))
+            verified = verify_pairs(candidates, sk_cols("minimizers"))
         verified = store.materialize(spark, "verified", verified)
 
     # -- suffix-array substring pass: exact duplicate spans as extra edges
@@ -382,13 +418,40 @@ def run_dedup(
         # (the scale-flat stage-count term, VERDICT r04 #1)
         accepted = accepted.union(exact)
         if spans is not None:
-            accepted = accepted.union(substring_dup_pairs(spans, cfg.substring_min_cov))
+            sp_pairs = substring_dup_pairs(spans, cfg.substring_min_cov)
+            if use_rid:
+                # span pairs come out of the (string-keyed) suffix pass;
+                # bring them into rank space before the union (tiny table)
+                ra = rid.select(F.col("conv_id").alias("id_a"), F.col("_rid").alias("_ra"))
+                rb = rid.select(F.col("conv_id").alias("id_b"), F.col("_rid").alias("_rb"))
+                sp_pairs = (
+                    sp_pairs.join(ra, "id_a").join(rb, "id_b")
+                    .select(F.col("_ra").alias("id_a"), F.col("_rb").alias("id_b"))
+                )
+            accepted = accepted.union(sp_pairs)
         comp = connected_components(accepted)
-        all_ids = conv_text.select("conv_id")
-        clusters = (
-            all_ids.join(comp, "conv_id", "left")
-            .select("conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id"))
-        )
+        if use_rid:
+            # the corpus-id side of the left join IS the rank table; keep the
+            # (driver-bounded) comp broadcast intact and translate both rank
+            # columns back to conv_id strings afterwards — two narrow probe
+            # joins of linear-sized tables, no pair-scale work
+            clusters_rid = (
+                rid.select(F.col("_rid").alias("conv_id"))
+                .join(comp, "conv_id", "left")
+                .select("conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id"))
+            )
+            m1 = rid.select(F.col("_rid").alias("conv_id"), F.col("conv_id").alias("_c"))
+            m2 = rid.select(F.col("_rid").alias("cluster_id"), F.col("conv_id").alias("_k"))
+            clusters = (
+                clusters_rid.join(m1, "conv_id").join(m2, "cluster_id")
+                .select(F.col("_c").alias("conv_id"), F.col("_k").alias("cluster_id"))
+            )
+        else:
+            all_ids = conv_text.select("conv_id")
+            clusters = (
+                all_ids.join(comp, "conv_id", "left")
+                .select("conv_id", F.coalesce("cluster_id", "conv_id").alias("cluster_id"))
+            )
         clusters = store.materialize(spark, "clusters", clusters)
 
     store.write_metrics(spark)
@@ -400,5 +463,20 @@ def run_dedup(
             df.unpersist()
         conv_text.unpersist()
         caches = []
-    return DedupResult(conv_text, sketches, candidates, verified, clusters, spans,
+    cand_out, ver_out = candidates, verified
+    if use_rid:
+        # external views keep the public conv_id string ids; the remap is
+        # lazy (paid only when the caller materializes these outputs) and
+        # column-order/type identical to the string-keyed form
+        def _remap_pairs(df: DataFrame) -> DataFrame:
+            a = rid.select(F.col("_rid").alias("id_a"), F.col("conv_id").alias("_ca"))
+            b = rid.select(F.col("_rid").alias("id_b"), F.col("conv_id").alias("_cb"))
+            rest = [c for c in df.columns if c not in ("id_a", "id_b")]
+            return (
+                df.join(a, "id_a").join(b, "id_b")
+                .select(F.col("_ca").alias("id_a"), F.col("_cb").alias("id_b"), *rest)
+            )
+
+        cand_out, ver_out = _remap_pairs(candidates), _remap_pairs(verified)
+    return DedupResult(conv_text, sketches, cand_out, ver_out, clusters, spans,
                        _caches=caches)

@@ -107,6 +107,49 @@ def test_canonical_kmers_match_reference_rule():
     assert ours.tolist() == naive
 
 
+def test_canonical_kmers_sentinel_matches_reference_rule():
+    """canonical + on_invalid='sentinel' (ADVICE r05): windows containing a
+    non-ACGT char carry the sentinel, exactly like the reference's canonical
+    path (string-min the two strands, KeyError -> hashOfBadKmer)."""
+    rng = random.Random(11)
+    base = list(random_dna(rng, 120))
+    for pos in (0, 17, 63, 119):
+        base[pos] = "N"
+    seq = "".join(base)
+    k = 9
+    with pytest.raises(ValueError):
+        K.canonical_kmers_2bit(seq, k)  # default on_invalid stays 'raise'
+    ours = K.canonical_kmers_2bit(seq, k, on_invalid="sentinel")
+    rev = seq[::-1].translate(str.maketrans("ACGTN", "TGCAN"))
+    nt_to_bits = {"A": 0, "C": 1, "G": 2, "T": 3}
+    naive = []
+    for ix in range(k, len(seq) + 1):
+        kmer = seq[ix - k:ix]
+        rk = rev[len(seq) - ix:len(seq) - ix + k]
+        kmer = min(kmer, rk)  # reference string-min rule
+        try:
+            bits = 0
+            for c in kmer:
+                bits = (bits << 2) + nt_to_bits[c]
+        except KeyError:
+            bits = int(K.SENTINEL)  # reference hashOfBadKmer
+        naive.append(bits)
+    assert ours.tolist() == naive
+    assert int(K.SENTINEL) in naive  # the planted Ns actually exercise it
+
+
+def test_hash_dna_sequence_canonical_sentinel():
+    """hash_dna_sequence(canonical=True, on_invalid='sentinel') keeps the
+    sentinel un-hashed (the exact repro from ADVICE r05 raised before)."""
+    seq = "ACGTNACGTACGTACGT"
+    out = K.hash_dna_sequence(seq, 4, "splitmix64", 0,
+                              canonical=True, on_invalid="sentinel")
+    sent = int(K.SENTINEL)
+    expect_bad = {i for i in range(len(seq) - 3) if 4 in range(i, i + 4)}
+    for i, v in enumerate(out.tolist()):
+        assert (int(v) == sent) == (i in expect_bad)
+
+
 def test_hash_dna_sequence_parity_all_hashes():
     rng = random.Random(3)
     seq = random_dna(rng, 300)
