@@ -155,8 +155,15 @@ def q_ngram_jaccard(spark, sf):
     first(ignorenulls) per side is deterministic and the inner-join
     semantics (both sides present) are reproduced by the two IS NOT NULL
     filters.  Result rows are bit-identical to the join form (equality
-    A/B-checked at sf0.1/sf1.0, and the DuckDB oracle is unchanged)."""
+    A/B-checked at sf0.1/sf1.0, and the DuckDB oracle is unchanged).
+
+    The documents parquet is a few MB, so the scan yields 1-2 input splits —
+    but the gram transform behind it is ~0.4 ms/doc (measured 21 CPU-s at
+    50k docs running in 2 tasks).  The round-robin repartition spreads that
+    compute across the cluster for the cost of re-shuffling the (10x
+    smaller) raw text (guide §2.5 input skew / §6 small-files)."""
     d = _t(spark, sf, "documents").where(F.length("text") >= 8)
+    d = d.repartition(spark.sparkContext.defaultParallelism)
     grams = F.array_distinct(
         F.expr("transform(sequence(1, length(text) - 7), i -> substring(text, i, 8))")
     )

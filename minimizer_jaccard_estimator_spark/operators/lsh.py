@@ -99,6 +99,11 @@ def lsh_candidate_pairs(
         dropped = signatures.sparkSession.createDataFrame(
             [], "band_id int, band_hash long, n_docs long"
         )
+    # (r06 A/B note: deduplicating identical bucket MEMBERSHIP lists across
+    # bands before expansion — sort_array + distinct on the list rows — was
+    # tried and reverted: the array-keyed aggregation costs more than the
+    # duplicate pair blocks it removes at every measured scale, e.g.
+    # dedup_documents 44 -> 88 s at the sf1.0 shape.)
     buckets = (
         b.join(sizes.select("band_id", "band_hash"), ["band_id", "band_hash"])
         .groupBy("band_id", "band_hash")

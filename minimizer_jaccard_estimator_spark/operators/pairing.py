@@ -118,14 +118,27 @@ def consecutive_pairs_ranged(
     """
     rn = global_row_numbers(df, order_col, partitions, small_input_threshold)
     others = [c for c in df.columns if c != order_col]
-    a = rn.where(F.col("rn") % 2 == 1).select(
-        ((F.col("rn") + 1) / 2).cast("long").alias("pair_id"),
-        F.col(order_col).alias("key_a"),
-        *[F.col(c).alias(f"{c}_a") for c in others],
+    # one hash aggregation instead of an odd/even self-join: the join form
+    # shuffled both halves by pair_id and built a join hash table; this ships
+    # the same rows through ONE exchange and reassembles each pair with
+    # first(ignorenulls) (deterministic: exactly one odd and one even row per
+    # pair_id).  Output columns/rows identical — the inner join's "drop the
+    # unpaired odd tail" becomes the key_b IS NOT NULL filter.
+    odd = F.col("rn") % 2 == 1
+
+    def side(col, when_odd):
+        return F.first(
+            F.when(odd if when_odd else ~odd, F.col(col)), ignorenulls=True
+        )
+
+    out = (
+        rn.groupBy(F.ceil(F.col("rn") / 2).cast("long").alias("pair_id"))
+        .agg(
+            side(order_col, True).alias("key_a"),
+            *[side(c, True).alias(f"{c}_a") for c in others],
+            side(order_col, False).alias("key_b"),
+            *[side(c, False).alias(f"{c}_b") for c in others],
+        )
+        .where(F.col("key_b").isNotNull())
     )
-    b = rn.where(F.col("rn") % 2 == 0).select(
-        (F.col("rn") / 2).cast("long").alias("pair_id"),
-        F.col(order_col).alias("key_b"),
-        *[F.col(c).alias(f"{c}_b") for c in others],
-    )
-    return a.join(b, "pair_id")
+    return out
