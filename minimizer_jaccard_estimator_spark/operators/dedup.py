@@ -334,28 +334,61 @@ def run_dedup(
             # (derived from the same persisted bucket-size aggregate)
             lsh, dropped = lsh
             store.materialize(spark, "lsh_dropped_buckets", dropped)
-        candidates = exact.union(lsh).distinct()
+        raw_pairs = exact.union(lsh)
         if cfg.simhash_max_hamming is not None:
             with_sim = attach_pair_columns(
-                candidates, sk_cols("simhash"), ["simhash"]
+                raw_pairs, sk_cols("simhash"), ["simhash"]
             )
-            candidates = simhash_filter(with_sim, cfg.simhash_max_hamming).select("id_a", "id_b")
-        candidates = store.materialize(spark, "candidates", candidates)
+            raw_pairs = simhash_filter(with_sim, cfg.simhash_max_hamming).select("id_a", "id_b")
+        candidates = store.materialize(spark, "candidates", raw_pairs.distinct())
 
     # -- verify with exact Jaccard on minimizer sets (JVM-side set ops)
-    if store.exists("verified"):
-        verified = store.load(spark, "verified")
-    else:
+    def _verify(pair_df: DataFrame) -> DataFrame:
         if cfg.staged_verify:
-            verified = verify_pairs_staged(
-                candidates,
+            return verify_pairs_staged(
+                pair_df,
                 sk_cols("minimizers", "minhash", "n_shingles"),
                 cfg.jaccard_threshold,
                 cfg.staged_verify_margin,
             )
+        return verify_pairs(pair_df, sk_cols("minimizers"))
+
+    if store.exists("verified"):
+        verified = store.load(spark, "verified")
+        accepted_scores = verified
+    else:
+        verified = store.materialize(spark, "verified", _verify(candidates))
+        # store-less clusters path: score the RAW (non-distinct) pair stream
+        # instead of `verified` — the candidate pair-dedup was a full
+        # partial+final hash aggregation plus the pipeline's largest exchange
+        # (~55M rows / ~470MB shuffled at the sf1.0 documents shape), spent
+        # to drop ~5% duplicate pairs that (a) score identically (verify is
+        # per-pair-value deterministic) and (b) are deduplicated again by
+        # connected_components' internal edges.distinct() — the cluster
+        # output is therefore bit-identical while the verify attach joins
+        # stream map-side with NO pair exchange at all (guide §2.4 "remove
+        # shuffles outright": the sketch side broadcasts, so dropping the
+        # distinct removes the only pair-table shuffle).  Store runs keep
+        # reading the materialized `verified` table (it is already on disk
+        # and is the resume/delta contract).
+        if store.root is None:
+            # pair expansion inherits the bucket exchange's partitioning,
+            # where per-task work is quadratic in bucket size — a handful
+            # of hot-bucket tasks own nearly all verify CPU (measured
+            # median ~0 s / max 66 s over 144 tasks at the sf1.0 documents
+            # shape).  One hash exchange of the narrow (id_a, id_b) rows
+            # rebalances verify across the cluster WITHOUT the distinct's
+            # two hash aggregations; explicit N (4x slots) keeps AQE from
+            # coalescing the CPU-bound verify stage to 64MB-sized (= too
+            # few) tasks.  A/B at sf1.0 (interleaved, steal-immune CPU
+            # totals): distinct path 1213 CPU-s / 123 s wall; skip without
+            # rebalance 729 CPU-s / 72 s wall (hot-bucket stragglers); this
+            # form 800 CPU-s / 31-39 s wall.
+            accepted_scores = _verify(raw_pairs.repartition(
+                spark.sparkContext.defaultParallelism * 4, "id_a", "id_b"
+            ))
         else:
-            verified = verify_pairs(candidates, sk_cols("minimizers"))
-        verified = store.materialize(spark, "verified", verified)
+            accepted_scores = verified
 
     # -- suffix-array substring pass: exact duplicate spans as extra edges
     spans = None
@@ -408,7 +441,7 @@ def run_dedup(
         # resumed stores may carry delta-committed override rows
         clusters = load_clusters(spark, store)
     else:
-        accepted = verified.where(F.col("j_mini") >= cfg.jaccard_threshold)
+        accepted = accepted_scores.where(F.col("j_mini") >= cfg.jaccard_threshold)
         accepted = accepted.select("id_a", "id_b")
         # exact-digest pairs are provably identical texts and bypass the
         # Jaccard threshold: texts shorter than k have EMPTY minimizer sets
