@@ -358,35 +358,33 @@ def run_dedup(
         accepted_scores = verified
     else:
         verified = store.materialize(spark, "verified", _verify(candidates))
-        # store-less clusters path: score the RAW (non-distinct) pair stream
-        # instead of `verified` — the candidate pair-dedup was a full
-        # partial+final hash aggregation plus the pipeline's largest exchange
-        # (~55M rows / ~470MB shuffled at the sf1.0 documents shape), spent
-        # to drop ~5% duplicate pairs that (a) score identically (verify is
-        # per-pair-value deterministic) and (b) are deduplicated again by
-        # connected_components' internal edges.distinct() — the cluster
-        # output is therefore bit-identical while the verify attach joins
-        # stream map-side with NO pair exchange at all (guide §2.4 "remove
-        # shuffles outright": the sketch side broadcasts, so dropping the
-        # distinct removes the only pair-table shuffle).  Store runs keep
-        # reading the materialized `verified` table (it is already on disk
-        # and is the resume/delta contract).
+        # store-less clusters path: rebalance AND dedup the raw pair stream
+        # in ONE exchange before verify.  Two problems share this fix:
+        # (a) pair expansion inherits the bucket exchange's partitioning,
+        # where per-task work is quadratic in bucket size — a handful of
+        # hot-bucket tasks own nearly all verify CPU (measured median ~0 s /
+        # max 66 s over 144 tasks at the sf1.0 documents shape); (b) a pair
+        # of highly-similar docs collides in MANY of the 32 bands, so the
+        # raw stream carries up to bands-fold duplicate pairs — ~5% extra on
+        # the unrelated-documents corpus but ~30x on the duplicate-rich
+        # transcripts corpus, where skipping the dedup multiplied verify CPU
+        # by the band count (r06 regression: dedup_pipeline 22 s -> 53 s at
+        # sf0.1; reverted same round).  The explicit hash repartition on
+        # (id_a, id_b) both balances the expansion skew and ALREADY provides
+        # the aggregation's required distribution, so the dropDuplicates
+        # plans as partial+final hash aggregates on the SAME post-shuffle
+        # partitions — one pair-table exchange total, no AQE coalescing of
+        # the CPU-bound verify stage below 4x task slots (64MB-sized
+        # partitions would be far too few).  The deduped pair SET is what
+        # the old candidates.distinct() produced, so clusters are
+        # bit-identical; store runs keep reading the materialized `verified`
+        # table (already on disk, and the resume/delta contract).
         if store.root is None:
-            # pair expansion inherits the bucket exchange's partitioning,
-            # where per-task work is quadratic in bucket size — a handful
-            # of hot-bucket tasks own nearly all verify CPU (measured
-            # median ~0 s / max 66 s over 144 tasks at the sf1.0 documents
-            # shape).  One hash exchange of the narrow (id_a, id_b) rows
-            # rebalances verify across the cluster WITHOUT the distinct's
-            # two hash aggregations; explicit N (4x slots) keeps AQE from
-            # coalescing the CPU-bound verify stage to 64MB-sized (= too
-            # few) tasks.  A/B at sf1.0 (interleaved, steal-immune CPU
-            # totals): distinct path 1213 CPU-s / 123 s wall; skip without
-            # rebalance 729 CPU-s / 72 s wall (hot-bucket stragglers); this
-            # form 800 CPU-s / 31-39 s wall.
-            accepted_scores = _verify(raw_pairs.repartition(
-                spark.sparkContext.defaultParallelism * 4, "id_a", "id_b"
-            ))
+            accepted_scores = _verify(
+                raw_pairs.repartition(
+                    spark.sparkContext.defaultParallelism * 4, "id_a", "id_b"
+                ).dropDuplicates(["id_a", "id_b"])
+            )
         else:
             accepted_scores = verified
 
