@@ -343,15 +343,20 @@ def run_dedup(
         candidates = store.materialize(spark, "candidates", raw_pairs.distinct())
 
     # -- verify with exact Jaccard on minimizer sets (JVM-side set ops)
-    def _verify(pair_df: DataFrame) -> DataFrame:
+    # min_score is the exact accept-side pruning gate (see verify_pairs):
+    # ONLY the clusters branch may use it — the `verified` output scores
+    # every candidate, accepted or not (resume/delta + declared-query
+    # contract)
+    def _verify(pair_df: DataFrame, min_score: float | None = None) -> DataFrame:
         if cfg.staged_verify:
             return verify_pairs_staged(
                 pair_df,
                 sk_cols("minimizers", "minhash", "n_shingles"),
                 cfg.jaccard_threshold,
                 cfg.staged_verify_margin,
+                min_score=min_score,
             )
-        return verify_pairs(pair_df, sk_cols("minimizers"))
+        return verify_pairs(pair_df, sk_cols("minimizers"), min_score=min_score)
 
     if store.exists("verified"):
         verified = store.load(spark, "verified")
@@ -383,7 +388,8 @@ def run_dedup(
             accepted_scores = _verify(
                 raw_pairs.repartition(
                     spark.sparkContext.defaultParallelism * 4, "id_a", "id_b"
-                ).dropDuplicates(["id_a", "id_b"])
+                ).dropDuplicates(["id_a", "id_b"]),
+                min_score=cfg.jaccard_threshold,
             )
         else:
             accepted_scores = verified

@@ -48,6 +48,41 @@ def _range_boundaries(df: DataFrame, order_col: str, parts: int, n: int) -> list
     return bounds
 
 
+def _count_and_boundaries(
+    df: DataFrame, order_col: str, parts: int
+) -> tuple[int, list | None]:
+    """(row count, boundary candidates) in as few jobs as possible.
+
+    Numeric/date/timestamp keys: ONE aggregation job computes the exact
+    count AND parts-1 approximate percentile split points (r06, guide §1.2
+    "fewer passes": the previous count + sample pair cost two full scans of
+    the key column before any real work started).  Global row numbers are
+    BOUNDARY-INDEPENDENT — rn = offset[pid] + local rank is the global rank
+    for ANY boundary placement, because offsets are rebuilt from the actual
+    per-pid counts — so approximate (even run-to-run varying) percentiles
+    only affect balance, never values.  Other orderable types (strings)
+    keep the sample pass; returns (n, None) and the caller samples."""
+    if parts <= 1:
+        return df.count(), []
+    from pyspark.sql.types import DateType, NumericType, TimestampType
+
+    dt = df.schema[order_col].dataType
+    if not isinstance(dt, (NumericType, DateType, TimestampType)):
+        return df.count(), None
+    fr = [i / parts for i in range(1, parts)]
+    row = df.select(
+        F.count(F.lit(1)).alias("n"),
+        F.percentile_approx(
+            order_col, F.array(*[F.lit(f) for f in fr]), F.lit(10_000)
+        ).alias("bs"),
+    ).collect()[0]
+    bounds: list = []
+    for b in row["bs"] or []:
+        if b is not None and (not bounds or b > bounds[-1]):  # strictly ascending
+            bounds.append(b)
+    return row["n"], bounds
+
+
 def global_row_numbers(
     df: DataFrame, order_col: str, partitions: int | None = None,
     small_input_threshold: int = 1_000_000,
@@ -71,11 +106,12 @@ def global_row_numbers(
     input (``sample()`` in its lineage, a table mutating between actions)
     would pair wrong rows silently: persist such inputs first."""
     parts = partitions or df.sparkSession.sparkContext.defaultParallelism
-    n = df.count()
+    n, bounds = _count_and_boundaries(df, order_col, parts)
     if (n < small_input_threshold and small_input_threshold > 0) or parts <= 1:
         w = Window.orderBy(order_col)
         return df.withColumn("rn", F.row_number().over(w))
-    bounds = _range_boundaries(df, order_col, parts, n)
+    if bounds is None:
+        bounds = _range_boundaries(df, order_col, parts, n)
     if bounds:
         barr = F.array(*[F.lit(b) for b in bounds])
         pid = F.size(F.filter(barr, lambda b: b <= F.col(order_col)))

@@ -58,6 +58,7 @@ def verify_pairs_staged(
     sig_col: str = "minhash",
     size_col: str = "n_shingles",
     small_doc_bypass: int = 1024,
+    min_score: float | None = None,
 ) -> DataFrame:
     """Two-stage verify: signature-estimate filter, then exact minimizer
     Jaccard on the survivors.  Output schema == verify_pairs (survivors
@@ -97,7 +98,8 @@ def verify_pairs_staged(
         )
     plausible = joined.where(keep)
     return verify_pairs(
-        plausible.select("id_a", "id_b"), sketches.select(id_col, set_col), id_col, set_col
+        plausible.select("id_a", "id_b"), sketches.select(id_col, set_col),
+        id_col, set_col, min_score=min_score,
     )
 
 
@@ -106,16 +108,34 @@ def verify_pairs(
     sketches: DataFrame,
     id_col: str = "conv_id",
     set_col: str = "minimizers",
+    min_score: float | None = None,
 ) -> DataFrame:
     """(id_a, id_b, i_mini, u_mini, j_mini) for each candidate pair.
 
     Minimizer VALUES form the comparison set (positions ignored), matching
     ``jaccard_by_minimizers``: set-of-values Jaccard, zero union → J = 0.
+
+    ``min_score`` is an EXACT accept-side pruning gate for callers that only
+    consume pairs with j_mini >= min_score (the dedup clusters path): since
+    I <= min(|A|,|B|) and U >= max(|A|,|B|), a pair with
+    min(|A|,|B|) < min_score * max(|A|,|B|) has j_mini strictly below
+    min_score and is dropped BEFORE the array_intersect — two int compares
+    instead of a hash-set build per pruned pair (r06, guide §1.2 "don't
+    compute things you throw away").  Pairs at exactly the ratio bound are
+    kept (j could equal min_score).  Empty-set pairs (|A|=|B|=0) pass the
+    gate and score 0 via the zero-union convention, same as before.  With
+    ``min_score=None`` every candidate is scored (the ``verified`` output
+    contract).
     """
     sets = sketches.select(
         F.col(id_col), F.array_distinct(F.col(set_col)).alias("_set")
     )
     joined = attach_pair_columns(candidates, sets, ["_set"], id_col)
+    if min_score is not None:
+        joined = joined.where(
+            F.least(F.size("_set_a"), F.size("_set_b"))
+            >= F.lit(float(min_score)) * F.greatest(F.size("_set_a"), F.size("_set_b"))
+        )
     i = F.size(F.array_intersect("_set_a", "_set_b")).cast("long")
     u = (F.size("_set_a") + F.size("_set_b")).cast("long") - i
     return joined.select(

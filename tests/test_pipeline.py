@@ -475,3 +475,52 @@ def test_dedup_recall_on_driver_documents(spark):
     assert truth_same_cluster, "documents fixture must contain duplicates"
     recall = len(our_pairs & truth_same_cluster) / len(truth_same_cluster)
     assert recall >= 0.99, f"documents recall {recall:.4f}"
+
+
+def test_verify_min_score_gate_is_exact(spark):
+    """verify_pairs(min_score=t) restricted to j >= t == the ungated verify
+    restricted to j >= t (the size-ratio gate may only prune pairs that
+    PROVABLY score below t), across mismatched-size, equal, and empty-set
+    pairs."""
+    from minimizer_jaccard_estimator_spark.operators.verify import verify_pairs
+
+    sketches = spark.createDataFrame(
+        [
+            ("d1", [1, 2, 3, 4, 5, 6, 7, 8]),
+            ("d2", [1, 2, 3, 4, 5, 6, 7, 9]),   # j(d1,d2)=7/9
+            ("d3", [1, 2, 3]),                   # size ratio 3/8 < 0.5 vs d1
+            ("d4", []),                          # empty set
+            ("d5", [1, 2, 3, 4]),                # ratio vs d1 = exactly 0.5
+        ],
+        ["conv_id", "minimizers"],
+    )
+    pairs = spark.createDataFrame(
+        [("d1", "d2"), ("d1", "d3"), ("d1", "d4"), ("d4", "d4"), ("d1", "d5")],
+        ["id_a", "id_b"],
+    )
+    t = 0.5
+    ungated = {
+        (r["id_a"], r["id_b"], r["i_mini"], r["u_mini"], r["j_mini"])
+        for r in verify_pairs(pairs, sketches).where(F.col("j_mini") >= t).collect()
+    }
+    gated = verify_pairs(pairs, sketches, min_score=t)
+    got = {
+        (r["id_a"], r["id_b"], r["i_mini"], r["u_mini"], r["j_mini"])
+        for r in gated.where(F.col("j_mini") >= t).collect()
+    }
+    assert got == ungated
+    # the boundary-ratio pair (exactly t * max) must NOT be pruned by the gate
+    assert {"d5"} <= {r["id_b"] for r in gated.collect()}
+
+
+def test_global_row_numbers_string_keys_ranged(spark):
+    """String order keys take the sampled-boundary fallback (percentile_approx
+    is numeric-only); the ranged plan must still produce exact global ranks."""
+    from minimizer_jaccard_estimator_spark.operators.pairing import global_row_numbers
+
+    keys = [f"k{v:05d}" for v in random.Random(13).sample(range(90000), 500)]
+    df = spark.createDataFrame([(k,) for k in keys], ["k"]).repartition(8)
+    out = {r["k"]: r["rn"] for r in global_row_numbers(
+        df, "k", partitions=6, small_input_threshold=0).collect()}
+    expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
+    assert out == expect
