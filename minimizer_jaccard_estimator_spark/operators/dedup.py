@@ -349,12 +349,21 @@ def run_dedup(
     # contract)
     def _verify(pair_df: DataFrame, min_score: float | None = None) -> DataFrame:
         if cfg.staged_verify:
+            # staged verify exists for the big-payload regime (long texts →
+            # ~KB signatures, ~10x-KB minimizer arrays), where the per-doc
+            # tables outgrow any broadcast threshold; the zip attach ships
+            # each payload through ONE exchange instead of three (see
+            # attach_pair_columns_zip).  Its preconditions hold here: the
+            # pair stream is deduplicated on both branches (candidates is
+            # distinct; the clusters branch dropDuplicates right below) and
+            # sketch payloads are non-null.
             return verify_pairs_staged(
                 pair_df,
                 sk_cols("minimizers", "minhash", "n_shingles"),
                 cfg.jaccard_threshold,
                 cfg.staged_verify_margin,
                 min_score=min_score,
+                attach="zip",
             )
         return verify_pairs(pair_df, sk_cols("minimizers"), min_score=min_score)
 

@@ -21,6 +21,61 @@ def attach_pair_columns(
     return pairs.join(a, "id_a").join(b, "id_b")
 
 
+def attach_pair_columns_zip(
+    pairs: DataFrame, per_doc: DataFrame, cols: list[str], id_col: str = "conv_id"
+) -> DataFrame:
+    """attach_pair_columns through ONE payload exchange instead of three.
+
+    The join form ships the per-doc payload across three exchanges when the
+    per-doc table is too big to broadcast: the a-side projection, the b-side
+    projection, and the pairs⋈a intermediate re-shuffled by id_b (measured
+    2.6 GB of exchanged array payload for a 6 MB pair table at the 2.9M-turn
+    transcripts shape).  This form explodes each pair into two narrow
+    (doc id, pair key, side) rows, joins the per-doc table ONCE (the narrow
+    side broadcasts under AQE when small, and even shuffled it is ~24 B/row),
+    and reassembles both sides with a single hash aggregation — the payload
+    crosses exactly one exchange, as first(side-0)/first(side-1) state
+    (guide §2.3 "shuffle fewer bytes" / §2.4 "remove shuffles outright").
+
+    PRECONDITIONS (why this is not the default): ``pairs`` rows must be
+    UNIQUE per (id_a, id_b) — duplicate pair rows would collapse into one
+    output row, where the join form preserves multiplicity — and the
+    attached payloads must be non-null (inner-join drop of ids absent from
+    ``per_doc`` is reproduced by the IS NOT NULL filters, which cannot
+    distinguish a null payload from a missing doc).  Both hold for every
+    dedup verify call (pairs are deduplicated, sketch columns are
+    non-nullable arrays/longs).  Output rows and schema are identical to
+    attach_pair_columns up to row order.
+    """
+    doc = F.col("_k.doc")
+    sides = pairs.select(
+        F.explode(
+            F.array(
+                F.struct(F.col("id_a").alias("doc"), F.lit(0).alias("side")),
+                F.struct(F.col("id_b").alias("doc"), F.lit(1).alias("side")),
+            )
+        ).alias("_k"),
+        "id_a",
+        "id_b",
+    ).select("id_a", "id_b", doc.alias("_doc"), F.col("_k.side").alias("_side"))
+    payload = per_doc.select(F.col(id_col).alias("_doc"), *cols)
+    joined = sides.join(payload, "_doc")
+    agg = [
+        F.first(
+            F.when(F.col("_side") == s, F.col(c)), ignorenulls=True
+        ).alias(f"{c}_{t}")
+        for c in cols
+        for s, t in ((0, "a"), (1, "b"))
+    ]
+    out = joined.groupBy("id_a", "id_b").agg(*agg)
+    cond = None
+    for c in cols:
+        for t in ("a", "b"):
+            nn = F.col(f"{c}_{t}").isNotNull()
+            cond = nn if cond is None else (cond & nn)
+    return out.where(cond)
+
+
 def signature_estimate(
     candidates: DataFrame,
     signatures: DataFrame,
@@ -59,6 +114,7 @@ def verify_pairs_staged(
     size_col: str = "n_shingles",
     small_doc_bypass: int = 1024,
     min_score: float | None = None,
+    attach: str = "join",
 ) -> DataFrame:
     """Two-stage verify: signature-estimate filter, then exact minimizer
     Jaccard on the survivors.  Output schema == verify_pairs (survivors
@@ -85,7 +141,8 @@ def verify_pairs_staged(
     """
     use_bypass = bool(small_doc_bypass) and size_col in sketches.columns
     cols = [sig_col, size_col] if use_bypass else [sig_col]
-    joined = attach_pair_columns(
+    _attach = attach_pair_columns_zip if attach == "zip" else attach_pair_columns
+    joined = _attach(
         candidates, sketches.select(id_col, *cols), cols, id_col
     )
     a, b = f"{sig_col}_a", f"{sig_col}_b"
@@ -99,7 +156,7 @@ def verify_pairs_staged(
     plausible = joined.where(keep)
     return verify_pairs(
         plausible.select("id_a", "id_b"), sketches.select(id_col, set_col),
-        id_col, set_col, min_score=min_score,
+        id_col, set_col, min_score=min_score, attach=attach,
     )
 
 
@@ -109,6 +166,7 @@ def verify_pairs(
     id_col: str = "conv_id",
     set_col: str = "minimizers",
     min_score: float | None = None,
+    attach: str = "join",
 ) -> DataFrame:
     """(id_a, id_b, i_mini, u_mini, j_mini) for each candidate pair.
 
@@ -130,7 +188,8 @@ def verify_pairs(
     sets = sketches.select(
         F.col(id_col), F.array_distinct(F.col(set_col)).alias("_set")
     )
-    joined = attach_pair_columns(candidates, sets, ["_set"], id_col)
+    _attach = attach_pair_columns_zip if attach == "zip" else attach_pair_columns
+    joined = _attach(candidates, sets, ["_set"], id_col)
     if min_score is not None:
         joined = joined.where(
             F.least(F.size("_set_a"), F.size("_set_b"))

@@ -524,3 +524,35 @@ def test_global_row_numbers_string_keys_ranged(spark):
         df, "k", partitions=6, small_input_threshold=0).collect()}
     expect = {k: i + 1 for i, k in enumerate(sorted(keys))}
     assert out == expect
+
+
+def test_attach_zip_equals_join(spark):
+    """attach='zip' (one payload exchange) must reproduce the join-form
+    staged verify exactly — including inner-join drop of ids with no sketch
+    row — on a corpus with dup structure."""
+    from minimizer_jaccard_estimator_spark.functions.sketch import add_full_sketch
+    from minimizer_jaccard_estimator_spark.operators.lsh import lsh_candidate_pairs
+    from minimizer_jaccard_estimator_spark.operators.verify import (
+        verify_pairs,
+        verify_pairs_staged,
+    )
+
+    t = synthetic_transcripts(spark, n_base=60, dup_factor=2, seed=11)
+    ct = assemble_conversations(t)
+    sk = add_full_sketch(ct.select("conv_id", "text"), SKETCH).persist()
+    cand = lsh_candidate_pairs(sk.select("conv_id", "minhash"), SKETCH)
+    # plant a pair whose ids have no sketch rows: both attach forms must drop it
+    cand = cand.union(spark.createDataFrame([("zz1", "zz2")], ["id_a", "id_b"]))
+    args = (cand, sk.select("conv_id", "minimizers", "minhash", "n_shingles"),
+            THETA, 0.25)
+    join_rows = {tuple(r) for r in
+                 verify_pairs_staged(*args, attach="join").collect()}
+    zip_rows = {tuple(r) for r in
+                verify_pairs_staged(*args, attach="zip").collect()}
+    assert zip_rows == join_rows and join_rows
+    pj = {tuple(r) for r in verify_pairs(
+        cand, sk.select("conv_id", "minimizers"), attach="join").collect()}
+    pz = {tuple(r) for r in verify_pairs(
+        cand, sk.select("conv_id", "minimizers"), attach="zip").collect()}
+    assert pz == pj and pj
+    sk.unpersist()
