@@ -120,7 +120,23 @@ def sketch_udf(cfg: SketchConfig):
     minimizers are the winnowed (w,k) minimizer VALUES in position order
     (reference ``winnowed_minimizers.py:18-53``); n_dups counts repeated
     hash values (reference ``jaccard_correction_test.py:770-778``).
+
+    Text mode runs the segmented batch kernel (r06) — no per-document
+    Python, bit-parity pinned; DNA mode keeps the per-document path (parity
+    domain, not the scale path) — same split as ``full_sketch_udf``.
     """
+
+    if cfg.mode == "text":
+        from ..kernels_batch import batch_sketch_text
+
+        def run_text(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for texts in batches:
+                cols = batch_sketch_text(
+                    texts, cfg.k, cfg.w, cfg.hash_type, cfg.hash_seed
+                )
+                yield pd.DataFrame(cols)
+
+        return F.pandas_udf(run_text, SKETCH_FIELDS)
 
     def run(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in batches:
@@ -149,8 +165,28 @@ def signature_udf(cfg: SketchConfig):
 
     The MinHash axis is the reference's hash-replicate axis
     (``jaccard_correction_test.py:310-331``) vectorized across seeds.
+
+    Text mode runs the signature-only segmented batch kernel (r06) — no
+    per-document Python and none of the winnow work the full sketch pays;
+    DNA mode keeps the per-document path (same split as
+    ``full_sketch_udf``).
     """
     seeds = cfg.seeds()
+
+    if cfg.mode == "text":
+        from ..kernels_batch import batch_signature_text
+
+        def run_text(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
+            for texts in batches:
+                cols = batch_signature_text(
+                    texts, cfg.k, cfg.hash_type, cfg.hash_seed,
+                    cfg.minhash_scheme, cfg.num_perm,
+                    seeds if cfg.minhash_scheme != "oph" else None,
+                    cfg.simhash_seed, cfg.hash_type,
+                )
+                yield pd.DataFrame(cols)
+
+        return F.pandas_udf(run_text, SIG_FIELDS)
 
     def run(batches: Iterator[pd.Series]) -> Iterator[pd.DataFrame]:
         for texts in batches:

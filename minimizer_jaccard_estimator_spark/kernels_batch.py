@@ -411,3 +411,107 @@ def _sketch_text_chunk(
     out["minhash"] = list(K.u64_to_i64(sig.reshape(n_docs, -1)))
     out["simhash"] = sims
     return out
+
+
+def _chunk_bufs(bufs, chunk_bytes: int):
+    """Yield (lo, hi) document ranges of ~chunk_bytes of concatenated text
+    (the cache-residency rule of ``_CHUNK_TEXT_BYTES``)."""
+    n_all = len(bufs)
+    lo = 0
+    while lo < n_all:
+        hi, acc = lo, 0
+        while hi < n_all and (acc == 0 or acc + len(bufs[hi]) <= chunk_bytes):
+            acc += len(bufs[hi])
+            hi += 1
+        yield lo, hi
+        lo = hi
+
+
+def batch_signature_text(
+    texts,
+    k: int,
+    hash_type: str,
+    hash_seed: int,
+    minhash_scheme: str,
+    num_perm: int,
+    seeds: np.ndarray | None,
+    simhash_seed: int,
+    simhash_hash_type: str,
+    chunk_bytes: int = _CHUNK_TEXT_BYTES,
+) -> dict:
+    """Signature-only batch kernel (r06): MinHash + SimHash of one Arrow
+    batch with no per-document Python and WITHOUT the winnow/n_dups work the
+    full sketch also pays — the signature UDF (``add_signature``) previously
+    looped per document (~the r04 cost floor the full sketch already
+    escaped).  Same segmented component kernels, so bit-parity with the
+    per-document path follows from the pinned batch-parity contract (and is
+    pinned again in tests/test_kernels.py)."""
+    bufs = [(t or "").encode("utf-8") for t in texts]
+    if not bufs:
+        return {"minhash": [], "simhash": _EMPTY_I64}
+    sigs: list = []
+    sims: list = []
+    for lo, hi in _chunk_bufs(bufs, chunk_bytes):
+        part = bufs[lo:hi]
+        lens = np.fromiter((len(b) for b in part), dtype=np.int64, count=len(part))
+        data = np.frombuffer(b"".join(part), dtype=np.uint8)
+        n_docs = lens.shape[0]
+        fp_all, n_sh, seg = batch_shingle_fingerprints(data, lens, k)
+        if fp_all.shape[0]:
+            h_all = K.apply_hash(hash_type, hash_seed, fp_all, 32)
+        else:
+            h_all = _EMPTY_U64
+        _, ufp, useg = _segment_distinct(fp_all, h_all, seg, n_docs, hash_type, n_sh)
+        if minhash_scheme == "oph":
+            sig = batch_oph(h_all, seg, n_docs, num_perm)
+        else:
+            assert seeds is not None
+            sig = batch_seeded_minhash(ufp, useg, n_docs, seeds, hash_type)
+        if ufp.shape[0]:
+            uh_sim = K.apply_hash(simhash_hash_type, simhash_seed, ufp, 32)
+        else:
+            uh_sim = _EMPTY_U64
+        sigs.extend(K.u64_to_i64(sig.reshape(n_docs, -1)))
+        sims.append(batch_simhash(uh_sim, useg, n_docs))
+    return {"minhash": sigs, "simhash": np.concatenate(sims)}
+
+
+def batch_sketch_text(
+    texts,
+    k: int,
+    w: int,
+    hash_type: str,
+    hash_seed: int,
+    chunk_bytes: int = _CHUNK_TEXT_BYTES,
+) -> dict:
+    """Sketch-only batch kernel (r06): winnowed minimizers + positions +
+    n_shingles + n_dups of one Arrow batch without the MinHash/SimHash work
+    — the ``add_sketch`` twin of :func:`batch_signature_text`."""
+    bufs = [(t or "").encode("utf-8") for t in texts]
+    if not bufs:
+        return {"minimizers": [], "positions": [],
+                "n_shingles": _EMPTY_I64, "n_dups": _EMPTY_I64}
+    minis: list = []
+    poss: list = []
+    n_shs: list = []
+    n_dups_all: list = []
+    for lo, hi in _chunk_bufs(bufs, chunk_bytes):
+        part = bufs[lo:hi]
+        lens = np.fromiter((len(b) for b in part), dtype=np.int64, count=len(part))
+        data = np.frombuffer(b"".join(part), dtype=np.uint8)
+        n_docs = lens.shape[0]
+        fp_all, n_sh, seg = batch_shingle_fingerprints(data, lens, k)
+        if fp_all.shape[0]:
+            h_all = K.apply_hash(hash_type, hash_seed, fp_all, 32)
+        else:
+            h_all = _EMPTY_U64
+        mini_v, mini_p, mini_counts = batch_winnow(h_all, seg, n_docs, w)
+        n_dups, _, _ = _segment_distinct(fp_all, h_all, seg, n_docs, hash_type, n_sh)
+        bounds = np.cumsum(mini_counts)[:-1]
+        minis.extend(np.split(K.u64_to_i64(mini_v), bounds))
+        poss.extend(np.split(mini_p.astype(np.int32), bounds))
+        n_shs.append(n_sh.astype(np.int64))
+        n_dups_all.append(np.asarray(n_dups, dtype=np.int64))
+    return {"minimizers": minis, "positions": poss,
+            "n_shingles": np.concatenate(n_shs),
+            "n_dups": np.concatenate(n_dups_all)}

@@ -442,6 +442,7 @@ def run_dedup(
                 max_bucket_size=cfg.substring_max_anchor_docs,
                 with_dropped=want_dropped,
                 anchors=anchors_probe,
+                cache_registry=caches,
             )
             if want_dropped:
                 sp, dropped_anchors = sp

@@ -528,3 +528,59 @@ def test_batch_full_sketch_chunking_is_invisible():
         assert np.array_equal(one["minhash"][i], many["minhash"][i]), i
     for key in ("n_shingles", "n_dups", "simhash"):
         assert np.array_equal(one[key], many[key]), key
+
+
+@pytest.mark.parametrize("hash_type", ["splitmix64", "minimap2", "murmurhash3"])
+@pytest.mark.parametrize("scheme", ["oph", "seeded"])
+def test_batch_signature_text_bit_parity(hash_type, scheme):
+    """batch_signature_text (r06 signature-only kernel) == the per-document
+    signature path over the adversarial corpus, incl. chunk invisibility."""
+    from minimizer_jaccard_estimator_spark import kernels_batch as KB
+    from minimizer_jaccard_estimator_spark.functions.sketch import SketchConfig
+
+    rng = random.Random(hash(("sig", hash_type, scheme)) & 0xFFFF)
+    docs = _batch_corpus(rng, 60)
+    num_perm = 16 if scheme == "seeded" else 32
+    cfg = SketchConfig(k=12, w=20, hash_type=hash_type, hash_seed=7,
+                       num_perm=num_perm, lsh_bands=8, minhash_scheme=scheme)
+    seeds = cfg.seeds()
+    for chunk in (1 << 30, 128):
+        got = KB.batch_signature_text(
+            docs, cfg.k, cfg.hash_type, cfg.hash_seed, scheme, cfg.num_perm,
+            seeds if scheme != "oph" else None, cfg.simhash_seed,
+            cfg.hash_type, chunk_bytes=chunk,
+        )
+        for i, t in enumerate(docs):
+            t = t or ""
+            fp = K.shingle_fingerprints(t, cfg.k)
+            sig = cfg.minhash(fp, seeds)
+            assert np.array_equal(K.i64_to_u64(got["minhash"][i]), sig), (i, chunk)
+            sh = K.simhash64(fp, cfg.simhash_seed, cfg.hash_type)
+            want = sh - (1 << 64) if sh >= (1 << 63) else sh
+            assert int(got["simhash"][i]) == want, (i, chunk)
+    assert KB.batch_signature_text([], 4, "splitmix64", 0, "oph", 8, None,
+                                   0, "splitmix64") == {
+        "minhash": [], "simhash": KB._EMPTY_I64}
+
+
+@pytest.mark.parametrize("hash_type", ["splitmix64", "murmurhash3"])
+def test_batch_sketch_text_bit_parity(hash_type):
+    """batch_sketch_text (r06 sketch-only kernel) == the per-document
+    winnow/n_dups path over the adversarial corpus, incl. chunk
+    invisibility."""
+    from minimizer_jaccard_estimator_spark import kernels_batch as KB
+
+    rng = random.Random(hash(("sk", hash_type)) & 0xFFFF)
+    docs = _batch_corpus(rng, 60)
+    k, w, seed = 12, 20, 7
+    for chunk in (1 << 30, 128):
+        got = KB.batch_sketch_text(docs, k, w, hash_type, seed,
+                                   chunk_bytes=chunk)
+        for i, t in enumerate(docs):
+            t = t or ""
+            h = K.hash_text_shingles(t, k, hash_type, seed)
+            v, p = K.winnow_minimizers(h, w)
+            assert np.array_equal(K.i64_to_u64(got["minimizers"][i]), v), (i, chunk)
+            assert np.array_equal(got["positions"][i], p.astype(np.int32)), i
+            assert got["n_shingles"][i] == h.shape[0], i
+            assert got["n_dups"][i] == K.count_hash_duplicates(h), i
