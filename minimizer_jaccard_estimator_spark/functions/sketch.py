@@ -331,9 +331,12 @@ def shingle_profile(df: DataFrame, cfg: SketchConfig,
                     out.append([])
             yield pd.Series(out)
 
+    from ..util import spread_small_input
+
     prof = F.pandas_udf(run, PROFILE_FIELDS)(F.col(text_col)).alias("_p")
     return (
-        df.select(F.col(id_col), prof)
+        spread_small_input(df.select(F.col(id_col), F.col(text_col)))
+        .select(F.col(id_col), prof)
         .select(id_col, F.explode("_p").alias("_e"))
         .select(id_col, F.col("_e.fingerprint").alias("fingerprint"),
                 F.col("_e.cnt").alias("cnt"))
@@ -352,6 +355,9 @@ def hash_sequence_udf(cfg: SketchConfig, seed: int | None = None):
 
 
 def add_sketch(df: DataFrame, cfg: SketchConfig, text_col: str = "text") -> DataFrame:
+    from ..util import spread_small_input
+
+    df = spread_small_input(df)
     s = sketch_udf(cfg)(F.col(text_col)).alias("_sk")
     return df.select("*", s).select(
         *df.columns,
@@ -363,6 +369,9 @@ def add_sketch(df: DataFrame, cfg: SketchConfig, text_col: str = "text") -> Data
 
 
 def add_signature(df: DataFrame, cfg: SketchConfig, text_col: str = "text") -> DataFrame:
+    from ..util import spread_small_input
+
+    df = spread_small_input(df)
     s = signature_udf(cfg)(F.col(text_col)).alias("_sig")
     return df.select("*", s).select(
         *df.columns,

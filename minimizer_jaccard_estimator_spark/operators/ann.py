@@ -164,6 +164,14 @@ def embedding_neardup_pairs(
         F.col(id_col),
         F.transform(v, lambda x: x / norm).alias("_u"),
     )
+    # `unit` feeds FOUR consumers (bucket keys, the bucket-size join, and
+    # both verify sides); without a persist each one re-runs the full
+    # lineage below it — for media features that is the per-row extraction
+    # UDF, re-executed per consumer (r06, guide §5 "reused AND expensive to
+    # recompute"; measured media_neardup 8.6 -> 2.9 s at sf0.1).  Narrow
+    # (id, unit-vector) rows, MEMORY_AND_DISK; cached for the session on
+    # the one-shot query path, same contract as substring_candidate_pairs.
+    unit = unit.persist()
     keys = _hyperplane_bucket_udf(dim, n_planes, n_tables, seed)(F.col("_u"))
     b = unit.select(id_col, F.explode(keys).alias("bucket"))
 

@@ -114,7 +114,11 @@ def extract_features(
                 }
             )
 
-    return media.mapInPandas(run, out_schema)
+    # feature extraction is the heavy per-row axis; don't let a 1-2 split
+    # fixture scan serialize it (r06; no-op on well-partitioned input)
+    from ..util import spread_small_input
+
+    return spread_small_input(media).mapInPandas(run, out_schema)
 
 
 def frame_sample(media: DataFrame, frame_bytes: int = 4096, every_n: int = 10) -> DataFrame:

@@ -183,7 +183,11 @@ def pairwise_report(
             yield pd.DataFrame(rows, columns=[f.name for f in schema.fields])
 
     cols = ["name_a", "text_a", "name_b", "text_b"]
-    return pairs.select(*cols).mapInPandas(run, schema=schema)
+    # heavy per-pair kernels must not inherit a 1-2 split fixture scan
+    # (r06; no-op on inputs already as parallel as the cluster)
+    from ..util import spread_small_input
+
+    return spread_small_input(pairs.select(*cols)).mapInPandas(run, schema=schema)
 
 
 # the 17 configurations the reference's --report:configs emits

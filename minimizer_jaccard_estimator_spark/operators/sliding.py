@@ -243,7 +243,13 @@ def sliding_jaccard(
             cols = [f.name for f in SLIDING_SCHEMA.fields]
             yield pd.concat(frames)[cols] if frames else pd.DataFrame(columns=cols)
 
-    return refs.select(F.col(name_col), F.col(seq_col)).mapInPandas(run, schema=SLIDING_SCHEMA)
+    # the per-reference sliding scan is the heavy axis; don't let a 1-2
+    # split fixture scan serialize it (r06; no-op on well-partitioned input)
+    from ..util import spread_small_input
+
+    return spread_small_input(
+        refs.select(F.col(name_col), F.col(seq_col))
+    ).mapInPandas(run, schema=SLIDING_SCHEMA)
 
 
 def jaccard_distribution(

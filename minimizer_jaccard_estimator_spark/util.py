@@ -51,3 +51,24 @@ def write_report(df, out: str | None, fmt: str = "tsv") -> None:
         df.write.mode("overwrite").option("sep", "\t").option("header", True).csv(out)
     else:
         df.write.mode("overwrite").parquet(out)
+
+
+def spread_small_input(df, parts: int | None = None):
+    """Round-robin repartition iff the input has fewer partitions than the
+    cluster has task slots (r06, guide §2.5 "input skew: repartition
+    immediately after the read").
+
+    The heavy per-row Arrow/pandas operators (pairwise scoring, sliding
+    scan, feature extraction, sketch/signature kernels) inherit their
+    input's partitioning; a few-MB parquet fixture yields 1-2 splits, which
+    serializes minutes of kernel CPU into 1-2 tasks.  Inputs that are
+    already at least as parallel as the cluster pass through UNCHANGED — a
+    well-partitioned 100 TB table never pays the extra shuffle, and the
+    repartition can only widen, never shrink, the task count.
+    """
+    if getattr(df, "isStreaming", False):
+        return df  # partition introspection is undefined on streaming plans
+    parts = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= parts:
+        return df
+    return df.repartition(parts)
