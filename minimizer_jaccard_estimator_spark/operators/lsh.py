@@ -104,8 +104,17 @@ def lsh_candidate_pairs(
     # tried and reverted: the array-keyed aggregation costs more than the
     # duplicate pair blocks it removes at every measured scale, e.g.
     # dedup_documents 44 -> 88 s at the sf1.0 shape.)
+    # the surviving-bucket side sits behind an aggregation whose size the
+    # static planner cannot estimate, so without the hint this equi-join
+    # planned as sort-merge — sorting the 11.5M-row band table on both
+    # sides for nothing (the downstream collect_list needs only the hash
+    # distribution, which it reuses from the join either way).  SHUFFLE_HASH
+    # builds the per-partition hash map on the bucket-key side: O(#buckets /
+    # shuffle partitions) rows per map, scale-safe, and AQE skew handling
+    # still applies (r06; guide §3.1 "pick the strategy deliberately").
     buckets = (
-        b.join(sizes.select("band_id", "band_hash"), ["band_id", "band_hash"])
+        b.join(sizes.select("band_id", "band_hash").hint("shuffle_hash"),
+               ["band_id", "band_hash"])
         .groupBy("band_id", "band_hash")
         .agg(F.collect_list(id_col).alias("_ids"))
     )

@@ -60,6 +60,20 @@ def attach_pair_columns_zip(
     ).select("id_a", "id_b", doc.alias("_doc"), F.col("_k.side").alias("_side"))
     payload = per_doc.select(F.col(id_col).alias("_doc"), *cols)
     joined = sides.join(payload, "_doc")
+    # first(array) aggregation buffers are not hash-able, so the reassembly
+    # plans as SortAggregate.  Establishing the pair-key distribution with
+    # an explicit repartition BEFORE the groupBy makes partial and final
+    # aggregate run back-to-back in the post-exchange stage: the payload
+    # rows are sorted ONCE (the final inherits the partial's output order)
+    # instead of sorted before the exchange AND re-sorted after it — the
+    # exchange destroys ordering, and the pre-exchange partial combined
+    # almost nothing anyway (measured 720k -> 711k rows for ~1 GB sorted
+    # twice at the 2.9M-turn shape).  Explicit N keeps the CPU-bound
+    # aggregation from being AQE-coalesced to byte-sized (= too few) tasks.
+    spark = pairs.sparkSession
+    joined = joined.repartition(
+        spark.sparkContext.defaultParallelism * 4, "id_a", "id_b"
+    )
     agg = [
         F.first(
             F.when(F.col("_side") == s, F.col(c)), ignorenulls=True
