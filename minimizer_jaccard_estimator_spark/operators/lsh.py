@@ -80,6 +80,15 @@ def lsh_candidate_pairs(
     (id, band_id, band_hash) table (e.g. the checkpointed corpus bands stage)
     — the signature transform then never re-runs over those rows."""
     b = bands if bands is not None else band_hashes(signatures, cfg, id_col)
+    # (r06 A/B note: sharing ONE bucket-keyed exchange between the count
+    # aggregate and the bucket join — b.repartition(band_id, band_hash)
+    # before both — was tried and reverted: AQE coalesces the two exchange
+    # instances independently, which defeats ReuseExchange, and the
+    # complete-mode count aggregate built its full 3.9M-key map per task
+    # where the map-side partial had amortized it (aggregate build 33 ->
+    # 70 s, pipeline CPU total up ~significantly in the same window).  The
+    # map-side partial stays even though it combines little — its output
+    # rows, not its build, are the cheap part.)
     sizes = (
         b.groupBy("band_id", "band_hash")
         .agg(F.count("*").alias("_n"))
